@@ -1,0 +1,129 @@
+"""Generate deterministic test fixtures.
+
+Creates a small genome, simulated reads (plain + compressor-reordered
+order), builds the index with the *reference* bwaidx binary when available
+(.ref_build/), and records golden SAM from the reference bwamem/CompSeed
+binaries.  The committed fixtures make the differential test-suite
+self-contained; this script documents their provenance.
+
+Run:  python scripts/make_fixtures.py
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FIX = os.path.join(ROOT, "tests", "fixtures")
+REF_BUILD = os.path.join(ROOT, ".ref_build")
+
+GENOME_LEN = 50_000
+GENOME2_LEN = 20_000
+N_READS = 2_000
+READ_LEN = 101
+ERR_RATE = 0.01
+
+
+def make_genome(path: str) -> tuple[str, str]:
+    rng = np.random.default_rng(42)
+    bases = np.array(list("ACGT"))
+    seq = "".join(rng.choice(bases, size=GENOME_LEN))
+    seq = seq[:1000] + "NNNNN" + seq[1000:2000] + "N" + seq[2000:]
+    # a tandem-ish repeat region to exercise re-seeding / repetitive logic
+    rep_unit = seq[30000:30100]
+    seq = seq[:35000] + rep_unit * 8 + seq[35000:]
+    seq2 = "".join(rng.choice(bases, size=GENOME2_LEN))
+    with open(path, "w") as f:
+        f.write(">tiny_chr1 test contig\n")
+        for i in range(0, len(seq), 70):
+            f.write(seq[i: i + 70] + "\n")
+        f.write(">tiny_chr2\n")
+        for i in range(0, len(seq2), 70):
+            f.write(seq2[i: i + 70] + "\n")
+    return seq, seq2
+
+
+COMP = str.maketrans("ACGTN", "TGCAN")
+
+
+def simulate_reads(seq: str, seq2: str):
+    rng = np.random.default_rng(7)
+    contigs = [seq, seq2]
+    reads = []
+    for i in range(N_READS):
+        ci = int(rng.integers(0, 2))
+        s = contigs[ci]
+        pos = int(rng.integers(0, len(s) - READ_LEN))
+        r = s[pos: pos + READ_LEN]
+        if rng.random() < 0.5:
+            r = r.translate(COMP)[::-1]
+        rl = list(r)
+        # substitution errors
+        for j in range(READ_LEN):
+            if rng.random() < ERR_RATE:
+                rl[j] = "ACGT"[int(rng.integers(0, 4))]
+        # occasional short indel
+        if rng.random() < 0.05:
+            j = int(rng.integers(10, READ_LEN - 10))
+            if rng.random() < 0.5:
+                del rl[j: j + int(rng.integers(1, 4))]
+            else:
+                rl[j:j] = ["ACGT"[int(rng.integers(0, 4))]
+                           for _ in range(int(rng.integers(1, 4)))]
+        # a few reads with Ns
+        if rng.random() < 0.02:
+            j = int(rng.integers(0, len(rl)))
+            rl[j] = "N"
+        reads.append("".join(rl))
+    return reads
+
+
+def main() -> None:
+    os.makedirs(FIX, exist_ok=True)
+    fa = os.path.join(FIX, "tiny.fa")
+    seq, seq2 = make_genome(fa)
+    reads = simulate_reads(seq, seq2)
+
+    with open(os.path.join(FIX, "reads.fq"), "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@read{i}\n{r}\n+\n{'I' * len(r)}\n")
+    # compressor-reordered raw format: one sequence per line, sorted so
+    # similar reads are adjacent (what SPRING/Minicom/PgRC reordering does)
+    with open(os.path.join(FIX, "reads.reordered"), "w") as f:
+        for r in sorted(reads):
+            f.write(r + "\n")
+
+    bwaidx = os.path.join(REF_BUILD, "bwaidx")
+    if os.path.exists(bwaidx):
+        subprocess.run([bwaidx, "-p", os.path.join(FIX, "tiny"), fa],
+                       check=True, capture_output=True)
+        bwamem = os.path.join(REF_BUILD, "bwamem")
+        compseed = os.path.join(REF_BUILD, "CompSeed")
+        for binary, inp, out in [
+            (bwamem, "reads.fq", "golden_bwamem.sam"),
+            (compseed, "reads.fq", "golden_compseed_fq.sam"),
+            (compseed, "reads.reordered", "golden_compseed_reordered.sam"),
+        ]:
+            if not os.path.exists(binary):
+                continue
+            r = subprocess.run(
+                [binary, os.path.join(FIX, "tiny"), os.path.join(FIX, inp)],
+                check=True, capture_output=True)
+            # drop @PG line (tool-specific)
+            lines = [l for l in r.stdout.decode().splitlines(keepends=True)
+                     if not l.startswith("@PG")]
+            with open(os.path.join(FIX, out), "w") as f:
+                f.writelines(lines)
+            print("wrote", out, len(lines), "lines")
+    else:
+        print("reference binaries not found; goldens not regenerated",
+              file=sys.stderr)
+    print("fixtures in", FIX)
+
+
+if __name__ == "__main__":
+    main()
