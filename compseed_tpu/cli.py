@@ -1,0 +1,234 @@
+"""Command-line interface.
+
+``compseed-tpu index``  — build the FM-index (bwaidx equivalent,
+                          FM_index/index_main.c:211-255).
+``compseed-tpu mem``    — align reads (CompSeed main.cpp:216-456); accepts
+                          FASTQ or compressor-reordered raw reads (sniffed
+                          by leading '@', main.cpp:399-406) and the full
+                          BWA-MEM flag surface.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+
+from compseed_tpu import options as opts
+from compseed_tpu.index.build import build_index
+from compseed_tpu.index.fmindex import FMIndex
+from compseed_tpu.index.io import save_index
+from compseed_tpu.io.fastq import (read_fastq_chunks, read_reordered_chunks,
+                                   sniff_is_fastq)
+from compseed_tpu.io.sam import sam_header
+from compseed_tpu.options import MemOptions
+from compseed_tpu.pipeline.align import align_chunk
+from compseed_tpu.pipeline.seeding import SeedingStats
+
+
+def cmd_index(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser(prog="compseed-tpu index")
+    ap.add_argument("fasta")
+    ap.add_argument("-p", "--prefix", default=None)
+    args = ap.parse_args(argv)
+    prefix = args.prefix or args.fasta
+    t = time.time()
+    built = build_index(args.fasta)
+    save_index(prefix, built)
+    print(f"[index] built {prefix} ({built.seq_len} bp doubled) "
+          f"in {time.time() - t:.1f}s", file=sys.stderr)
+    return 0
+
+
+def _parse_pair(s: str) -> tuple[int, int]:
+    parts = s.replace(";", ",").split(",")
+    a = int(parts[0])
+    b = int(parts[1]) if len(parts) > 1 else a
+    return a, b
+
+
+def cmd_mem(argv: list[str]) -> int:
+    # -h is BWA-MEM's XA-hits cap, so argparse's default help is disabled
+    ap = argparse.ArgumentParser(prog="compseed-tpu mem", add_help=False)
+    ap.add_argument("--help", action="help")
+    ap.add_argument("index_prefix")
+    ap.add_argument("reads")
+    ap.add_argument("-t", type=int, default=1, dest="n_threads")
+    ap.add_argument("-k", type=int, default=None, dest="min_seed_len")
+    ap.add_argument("-w", type=int, default=None, dest="band_width")
+    ap.add_argument("-d", type=int, default=None, dest="zdrop")
+    ap.add_argument("-r", type=float, default=None, dest="split_factor")
+    ap.add_argument("-y", type=int, default=None, dest="max_mem_intv")
+    ap.add_argument("-c", type=int, default=None, dest="max_occ")
+    ap.add_argument("-D", type=float, default=None, dest="drop_ratio")
+    ap.add_argument("-W", type=int, default=None, dest="min_chain_weight")
+    ap.add_argument("-s", type=int, default=None, dest="split_width")
+    ap.add_argument("-G", type=int, default=None, dest="max_chain_gap")
+    ap.add_argument("-N", type=int, default=None, dest="max_chain_extend")
+    ap.add_argument("-A", type=int, default=None, dest="match_score")
+    ap.add_argument("-B", type=int, default=None, dest="mismatch")
+    ap.add_argument("-O", type=str, default=None, dest="gap_open")
+    ap.add_argument("-E", type=str, default=None, dest="gap_ext")
+    ap.add_argument("-L", type=str, default=None, dest="clip_pen")
+    ap.add_argument("-U", type=int, default=None, dest="pen_unpaired")
+    ap.add_argument("-T", type=int, default=None, dest="score_T")
+    ap.add_argument("-h", type=str, default=None, dest="xa_hits")
+    ap.add_argument("-Q", type=float, default=None, dest="mapq_coef_len")
+    ap.add_argument("-X", type=float, default=None, dest="mask_level")
+    ap.add_argument("-x", type=str, default=None, dest="preset")
+    ap.add_argument("-K", type=int, default=None, dest="chunk_bases")
+    ap.add_argument("-R", type=str, default=None, dest="rg_line")
+    ap.add_argument("-H", type=str, default=None, dest="hdr_line")
+    ap.add_argument("-o", type=str, default=None, dest="output")
+    ap.add_argument("-a", action="store_true", dest="all_aln")
+    ap.add_argument("-C", action="store_true", dest="copy_comment")
+    ap.add_argument("-V", action="store_true", dest="ref_hdr")
+    ap.add_argument("-Y", action="store_true", dest="softclip")
+    ap.add_argument("-M", action="store_true", dest="no_multi")
+    ap.add_argument("-j", action="store_true", dest="ignore_alt")
+    ap.add_argument("-5", action="store_true", dest="primary5")
+    ap.add_argument("-q", action="store_true", dest="keep_supp_mapq")
+    ap.add_argument("--engine", choices=["oracle", "device"],
+                    default="oracle")
+    ap.add_argument("-v", type=int, default=3, dest="verbose")
+    args = ap.parse_args(argv)
+
+    opt = MemOptions()
+    opt0: set[str] = set()
+
+    def setopt(name, val):
+        if val is not None:
+            setattr(opt, name, val)
+            opt0.add(name)
+
+    setopt("min_seed_len", args.min_seed_len)
+    setopt("w", args.band_width)
+    setopt("zdrop", args.zdrop)
+    setopt("split_factor", args.split_factor)
+    setopt("max_mem_intv", args.max_mem_intv)
+    setopt("max_occ", args.max_occ)
+    setopt("drop_ratio", args.drop_ratio)
+    setopt("min_chain_weight", args.min_chain_weight)
+    setopt("split_width", args.split_width)
+    setopt("max_chain_gap", args.max_chain_gap)
+    setopt("max_chain_extend", args.max_chain_extend)
+    setopt("a", args.match_score)
+    setopt("b", args.mismatch)
+    setopt("pen_unpaired", args.pen_unpaired)
+    setopt("T", args.score_T)
+    if args.mask_level is not None:
+        opt.mask_level = args.mask_level
+    if args.gap_open is not None:
+        opt.o_del, opt.o_ins = _parse_pair(args.gap_open)
+        opt0.update(("o_del", "o_ins"))
+    if args.gap_ext is not None:
+        opt.e_del, opt.e_ins = _parse_pair(args.gap_ext)
+        opt0.update(("e_del", "e_ins"))
+    if args.clip_pen is not None:
+        opt.pen_clip5, opt.pen_clip3 = _parse_pair(args.clip_pen)
+        opt0.update(("pen_clip5", "pen_clip3"))
+    if args.xa_hits is not None:
+        opt.max_XA_hits, opt.max_XA_hits_alt = _parse_pair(args.xa_hits)
+        opt0.update(("max_XA_hits", "max_XA_hits_alt"))
+    if args.mapq_coef_len is not None:
+        opt.mapQ_coef_len = args.mapq_coef_len
+        opt.mapQ_coef_fac = int(math.log(opt.mapQ_coef_len)) \
+            if opt.mapQ_coef_len > 0 else 0
+        opt0.add("mapQ_coef_len")
+    if args.all_aln:
+        opt.flag |= opts.MEM_F_ALL
+    if args.ref_hdr:
+        opt.flag |= opts.MEM_F_REF_HDR
+    if args.softclip:
+        opt.flag |= opts.MEM_F_SOFTCLIP
+    if args.no_multi:
+        opt.flag |= opts.MEM_F_NO_MULTI
+    if getattr(args, "primary5"):
+        opt.flag |= opts.MEM_F_PRIMARY5 | opts.MEM_F_KEEP_SUPP_MAPQ
+    if args.keep_supp_mapq:
+        opt.flag |= opts.MEM_F_KEEP_SUPP_MAPQ
+
+    if args.preset:
+        opts.apply_preset(opt, opt0, args.preset)
+    else:
+        opts.update_a(opt, opt0)
+    opt.refresh_mat()
+
+    rg_id = ""
+    hdr_extra = None
+    if args.rg_line:
+        rg = args.rg_line.replace("\\t", "\t")
+        for field in rg.split("\t"):
+            if field.startswith("ID:"):
+                rg_id = field[3:]
+        hdr_extra = rg
+    if args.hdr_line:
+        hdr_extra = (hdr_extra + "\n" if hdr_extra else "") + args.hdr_line
+
+    fm = FMIndex.load(args.index_prefix)
+    if args.ignore_alt:
+        for a in fm.bns.anns:
+            a.is_alt = 0
+
+    out = open(args.output, "w") if args.output else sys.stdout
+    pg = ("@PG\tID:compseed-tpu\tPN:compseed-tpu\tVN:0.1.0\tCL:"
+          + " ".join(["compseed-tpu", "mem"] + argv))
+    out.write(sam_header(fm, hdr_extra, pg))
+
+    engine = None
+    seeder = None
+    if args.engine == "device":
+        from compseed_tpu.ops.engine import device_engine, device_seeder
+        engine = device_engine(opt, fm)
+        seeder = device_seeder(opt, fm)
+
+    chunk_bases = args.chunk_bases if args.chunk_bases and \
+        args.chunk_bases > 0 else opt.chunk_size * opt.n_threads
+    reader = read_fastq_chunks if sniff_is_fastq(args.reads) \
+        else read_reordered_chunks
+    stats = SeedingStats()
+    n_processed = 0
+    t0 = time.time()
+    for chunk in reader(args.reads, chunk_bases):
+        if not args.copy_comment:
+            for r in chunk:
+                r.comment = None
+        align_chunk(opt, fm, chunk, n_processed, engine=engine, stats=stats,
+                    seeder=seeder)
+        for r in chunk:
+            if r.sam:
+                out.write(r.sam)
+        n_processed += len(chunk)
+        if args.verbose >= 3:
+            print(f"[mem] processed {n_processed} reads "
+                  f"({n_processed / (time.time() - t0):.0f} reads/s)",
+                  file=sys.stderr)
+    if args.output:
+        out.close()
+    if args.verbose >= 3 and stats.bwt_queries:
+        print(f"BWT-extend:  {stats.bwt_queries} queries, {stats.bwt_calls} "
+              f"calls, {100.0 * (stats.bwt_queries - stats.bwt_calls) / stats.bwt_queries:.2f} % merged",
+              file=sys.stderr)
+        print(f"SA Lookup:   {stats.sal_queries} queries, {stats.sal_calls} "
+              f"calls, {100.0 * (stats.sal_queries - stats.sal_calls) / stats.sal_queries:.2f} % merged",
+              file=sys.stderr)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv or argv[0] in ("-h", "--help"):
+        print("usage: compseed-tpu {index,mem} ...", file=sys.stderr)
+        return 1
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "index":
+        return cmd_index(rest)
+    if cmd == "mem":
+        return cmd_mem(rest)
+    print(f"unknown command {cmd!r}", file=sys.stderr)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

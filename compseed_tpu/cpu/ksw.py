@@ -81,6 +81,16 @@ def extend(qlen: int, query: np.ndarray, tlen: int, target: np.ndarray,
         if end > qlen:
             end = qlen
         h_first = max(h0 - (o_del + e_del * (i + 1)), 0) if beg == 0 else 0
+        if end <= beg:  # band emptied: C's inner loop runs zero times,
+            # m stays 0 and the row loop breaks (ksw.c:454)
+            h[end] = h_first
+            e[end] = 0
+            if end == qlen:
+                h1 = h_first
+                if gscore <= h1:
+                    max_ie = i
+                    gscore = max(gscore, h1)
+            break
         # previous-row H(i-1, j-1) for j in [beg, end): diag values
         Hdiag = h[beg:end].copy()
         Eprev = e[beg:end].copy()

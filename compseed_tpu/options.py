@@ -77,7 +77,9 @@ class MemOptions:
     XA_drop_ratio: float = 0.80
     mask_level_redun: float = 0.95
     mapQ_coef_len: float = 50.0
-    mapQ_coef_fac: float = field(default_factory=lambda: math.log(50.0))
+    # NB: mapQ_coef_fac is an *int* field in mem_opt_t (comp_seed.h:68), so
+    # log(mapQ_coef_len) truncates: int(log(50)) == 3.  This feeds mapq.
+    mapQ_coef_fac: int = field(default_factory=lambda: int(math.log(50.0)))
     max_ins: int = 10000
     max_matesw: int = 50
     max_XA_hits: int = 5

@@ -1,0 +1,86 @@
+"""End-to-end batch alignment driver.
+
+Equivalent of seed_and_extend + mem_process_seqs
+(mapping/comp_seed.cpp:2242-2560): per compressive batch (BATCH_SIZE reads)
+run seeding, merged SAL, chaining/filtering, batched extension and
+finalization, producing one SAM string per read.
+
+Engines:
+  * ``oracle`` — everything scalar on host (the parity reference).
+  * ``device`` — seeding/SAL/extension on TPU (compseed_tpu.ops), host tail.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from compseed_tpu.index.fmindex import FMIndex
+from compseed_tpu.io.fastq import Read
+from compseed_tpu.options import MemOptions
+from compseed_tpu.pipeline import chain as chain_mod
+from compseed_tpu.pipeline import extension, finalize, seeding
+from compseed_tpu.utils import NT4_TABLE
+
+
+def encode_read(seq: str) -> np.ndarray:
+    return NT4_TABLE[np.frombuffer(seq.encode(), dtype=np.uint8)].copy()
+
+
+def align_batch(opt: MemOptions, fm: FMIndex, reads: list[Read],
+                n_processed: int, engine=None,
+                stats: seeding.SeedingStats | None = None,
+                seeder=None) -> None:
+    """Align reads[start:end] in place (fills .sam). ``n_processed`` is the
+    global index of reads[0] (hash tie-breaking depends on it)."""
+    if engine is None:
+        engine = extension.oracle_engine(opt)
+    queries = [encode_read(r.seq) for r in reads]
+
+    # --- seeding + merged SAL (comp_seed.cpp:2262-2347)
+    if seeder is not None:
+        per_read = seeder(fm, opt, queries, stats)
+        matches_per_read = [m for m, _ in per_read]
+        seeds_per_read = [s for _, s in per_read]
+    else:
+        matches_per_read = [seeding.collect_matches(fm, opt, q, stats)
+                            for q in queries]
+        seeds_per_read = [seeding.sample_seeds(opt, m)
+                          for m in matches_per_read]
+        seeding.resolve_sal(fm, seeds_per_read, stats)
+
+    # --- chaining + filtering (comp_seed.cpp:2356-2370)
+    chains_per_read = []
+    for q, matches, seeds in zip(queries, matches_per_read, seeds_per_read):
+        chains = chain_mod.mem_chain(opt, fm, len(q), matches, seeds)
+        chains = chain_mod.mem_chain_flt(opt, chains)
+        chain_mod.mem_flt_chained_seeds(opt, fm, len(q), q, chains)
+        chains_per_read.append(chains)
+
+    # --- batched banded-SW extension (comp_seed.cpp:2372-2375)
+    regs_per_read = extension.extend_batch(opt, fm, queries, chains_per_read,
+                                           engine)
+
+    # --- finalization (comp_seed.cpp:2377-2415)
+    for r, (read, q, regs) in enumerate(zip(reads, queries, regs_per_read)):
+        regs = [x for x in regs if x.qe > x.qb]
+        regs = finalize.mem_sort_dedup_patch(opt, fm, q, regs)
+        for p in regs:
+            if p.rid >= 0 and fm.bns.anns[p.rid].is_alt:
+                p.is_alt = 1
+        finalize.mem_mark_primary_se(opt, regs, n_processed + r)
+        if opt.flag & 0x800:  # MEM_F_PRIMARY5
+            finalize.mem_reorder_primary5(opt.T, regs)
+        read.sam = finalize.mem_reg2sam(opt, fm, read.name, q, read.qual,
+                                        read.comment, regs)
+
+
+def align_chunk(opt: MemOptions, fm: FMIndex, reads: list[Read],
+                n_processed: int, engine=None,
+                stats: seeding.SeedingStats | None = None,
+                seeder=None) -> None:
+    """Process one -K chunk in compressive batches of opt.batch_size."""
+    bs = opt.batch_size
+    for start in range(0, len(reads), bs):
+        batch = reads[start: start + bs]
+        align_batch(opt, fm, batch, n_processed + start, engine, stats,
+                    seeder)

@@ -1,0 +1,74 @@
+"""End-to-end SAM parity vs the reference BWA-MEM 0.7.17 golden output.
+
+This is the reference's own correctness methodology (README.md:52-62): the
+bwamem binary is the oracle; output must be byte-identical (modulo @PG).
+"""
+
+import os
+
+import pytest
+
+from compseed_tpu.io.fastq import read_fastq_chunks, read_reordered_chunks
+from compseed_tpu.options import MemOptions
+from compseed_tpu.pipeline.align import align_chunk
+from compseed_tpu.io.sam import sam_header
+
+from tests.conftest import FIXTURES
+
+
+def _golden(name):
+    with open(os.path.join(FIXTURES, name)) as f:
+        return [l for l in f if not l.startswith("@")]
+
+
+def _golden_header(name):
+    with open(os.path.join(FIXTURES, name)) as f:
+        return [l for l in f if l.startswith("@")]
+
+
+def _load_reads(name, reader):
+    reads = []
+    for chunk in reader(os.path.join(FIXTURES, name), 10_000_000):
+        reads.extend(chunk)
+    return reads
+
+
+def test_sam_parity_subset(tiny_fm):
+    """First 300 reads, exercised on every test run."""
+    opt = MemOptions()
+    reads = _load_reads("reads.fq", read_fastq_chunks)[:300]
+    align_chunk(opt, tiny_fm, reads, 0)
+    mine = "".join(r.sam for r in reads).splitlines(keepends=True)
+    golden = _golden("golden_bwamem.sam")
+    for i, (m, g) in enumerate(zip(mine, golden)):
+        assert m == g, f"record {i} differs:\nMINE: {m}\nGOLD: {g}"
+
+
+@pytest.mark.slow
+def test_sam_parity_full(tiny_fm):
+    opt = MemOptions()
+    reads = _load_reads("reads.fq", read_fastq_chunks)
+    align_chunk(opt, tiny_fm, reads, 0)
+    mine = "".join(r.sam for r in reads).splitlines(keepends=True)
+    golden = _golden("golden_bwamem.sam")
+    assert len(mine) == len(golden)
+    for i, (m, g) in enumerate(zip(mine, golden)):
+        assert m == g, f"record {i} differs:\nMINE: {m}\nGOLD: {g}"
+
+
+@pytest.mark.slow
+def test_sam_parity_reordered(tiny_fm):
+    """Compressor-reordered raw input (integer read names, no quals)."""
+    opt = MemOptions()
+    reads = _load_reads("reads.reordered", read_reordered_chunks)
+    align_chunk(opt, tiny_fm, reads, 0)
+    mine = "".join(r.sam for r in reads).splitlines(keepends=True)
+    golden = _golden("golden_compseed_reordered.sam")
+    assert len(mine) == len(golden)
+    for i, (m, g) in enumerate(zip(mine, golden)):
+        assert m == g, f"record {i} differs:\nMINE: {m}\nGOLD: {g}"
+
+
+def test_sam_header(tiny_fm):
+    hdr = sam_header(tiny_fm).splitlines(keepends=True)
+    assert hdr == _golden_header("golden_bwamem.sam")
