@@ -1,0 +1,21 @@
+"""Device execution engines pluggable into the pipeline.
+
+``device_engine``  — batched banded-SW extension (ops/bsw.py) with the
+                     call signature of pipeline.extension's engine.
+``device_seeder``  — batched SMEM seeding + merged SAL (ops/smem.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from compseed_tpu.ops.bsw import BswRunner
+
+
+def device_engine(opt, fm=None):
+    return BswRunner(opt, np.array(opt.mat))
+
+
+def device_seeder(opt, fm):
+    from compseed_tpu.ops.smem import BatchSeeder
+    return BatchSeeder(opt, fm)
