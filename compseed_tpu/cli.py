@@ -91,6 +91,8 @@ def cmd_mem(argv: list[str]) -> int:
     ap.add_argument("-q", action="store_true", dest="keep_supp_mapq")
     ap.add_argument("--engine", choices=["oracle", "device"],
                     default="oracle")
+    ap.add_argument("--tail", choices=["python", "native"],
+                    default="native")
     ap.add_argument("-v", type=int, default=3, dest="verbose")
     args = ap.parse_args(argv)
 
@@ -178,10 +180,14 @@ def cmd_mem(argv: list[str]) -> int:
 
     engine = None
     seeder = None
+    tail = None
     if args.engine == "device":
         from compseed_tpu.ops.engine import device_engine, device_seeder
         engine = device_engine(opt, fm)
         seeder = device_seeder(opt, fm)
+    if args.tail == "native":
+        from compseed_tpu.native import NativeTail
+        tail = NativeTail(opt, fm)
 
     chunk_bases = args.chunk_bases if args.chunk_bases and \
         args.chunk_bases > 0 else opt.chunk_size * opt.n_threads
@@ -195,7 +201,7 @@ def cmd_mem(argv: list[str]) -> int:
             for r in chunk:
                 r.comment = None
         align_chunk(opt, fm, chunk, n_processed, engine=engine, stats=stats,
-                    seeder=seeder)
+                    seeder=seeder, tail=tail, rg_id=rg_id)
         for r in chunk:
             if r.sam:
                 out.write(r.sam)

@@ -1,0 +1,262 @@
+"""ctypes bindings for the native host tail (csrc/compseed_host.cpp).
+
+The library is built on demand with g++ and cached under build/.  It owns
+chaining → SeqPair emission → acceptance → purge → dedup → SAM; the DP
+rounds in the middle run on the TPU through the provided engine.
+"""
+
+from __future__ import annotations
+
+import ctypes as ct
+import os
+import subprocess
+
+import numpy as np
+
+from compseed_tpu.index.fmindex import FMIndex
+from compseed_tpu.options import MemOptions
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_SRC = os.path.join(_ROOT, "csrc", "compseed_host.cpp")
+_BUILD = os.path.join(_ROOT, "build")
+_SO = os.path.join(_BUILD, "libcompseed_host.so")
+
+
+class CsOpt(ct.Structure):
+    _fields_ = [
+        ("a", ct.c_int32), ("b", ct.c_int32),
+        ("o_del", ct.c_int32), ("e_del", ct.c_int32),
+        ("o_ins", ct.c_int32), ("e_ins", ct.c_int32),
+        ("pen_unpaired", ct.c_int32),
+        ("pen_clip5", ct.c_int32), ("pen_clip3", ct.c_int32),
+        ("w", ct.c_int32), ("zdrop", ct.c_int32),
+        ("max_mem_intv", ct.c_int64),
+        ("T", ct.c_int32), ("flag", ct.c_int32),
+        ("min_seed_len", ct.c_int32), ("min_chain_weight", ct.c_int32),
+        ("max_chain_extend", ct.c_int32),
+        ("split_factor", ct.c_float),
+        ("split_width", ct.c_int32), ("max_occ", ct.c_int32),
+        ("max_chain_gap", ct.c_int32),
+        ("mask_level", ct.c_float), ("drop_ratio", ct.c_float),
+        ("XA_drop_ratio", ct.c_float), ("mask_level_redun", ct.c_float),
+        ("mapQ_coef_len", ct.c_float), ("mapQ_coef_fac", ct.c_int32),
+        ("max_ins", ct.c_int32), ("max_matesw", ct.c_int32),
+        ("max_XA_hits", ct.c_int32), ("max_XA_hits_alt", ct.c_int32),
+        ("mat", ct.c_int8 * 25),
+    ]
+
+
+def _to_csopt(opt: MemOptions) -> CsOpt:
+    c = CsOpt()
+    for name in ("a", "b", "o_del", "e_del", "o_ins", "e_ins",
+                 "pen_unpaired", "pen_clip5", "pen_clip3", "w", "zdrop",
+                 "max_mem_intv", "T", "flag", "min_seed_len",
+                 "min_chain_weight", "max_chain_extend", "split_factor",
+                 "split_width", "max_occ", "max_chain_gap", "mask_level",
+                 "drop_ratio", "XA_drop_ratio", "mask_level_redun",
+                 "mapQ_coef_len", "mapQ_coef_fac", "max_ins", "max_matesw",
+                 "max_XA_hits", "max_XA_hits_alt"):
+        setattr(c, name, getattr(opt, name))
+    for i, v in enumerate(opt.mat):
+        c.mat[i] = v
+    return c
+
+
+def build_library(force: bool = False) -> str:
+    os.makedirs(_BUILD, exist_ok=True)
+    if force or not os.path.exists(_SO) or \
+            os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        cmd = ["g++", "-O2", "-fPIC", "-shared", "-std=c++17",
+               "-o", _SO, _SRC]
+        subprocess.run(cmd, check=True, capture_output=True)
+    return _SO
+
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    lib = ct.CDLL(build_library())
+    i64p = ct.POINTER(ct.c_int64)
+    i32p = ct.POINTER(ct.c_int32)
+    u8p = ct.POINTER(ct.c_uint8)
+    lib.cs_batch_create.restype = ct.c_void_p
+    lib.cs_batch_create.argtypes = [
+        ct.POINTER(CsOpt), u8p, ct.c_int64, i64p, i32p, u8p, ct.c_int32,
+        ct.c_char_p, ct.c_int32, u8p, i64p, i64p, i64p, i64p, i64p]
+    lib.cs_pending_pairs.restype = ct.c_int64
+    lib.cs_pending_pairs.argtypes = [ct.c_void_p, ct.c_int32]
+    lib.cs_pair_buf_sizes.restype = ct.c_int64
+    lib.cs_pair_buf_sizes.argtypes = [ct.c_void_p, ct.c_int32, i64p, i64p]
+    lib.cs_export_pairs.restype = ct.c_int64
+    lib.cs_export_pairs.argtypes = [ct.c_void_p, ct.c_int32, u8p, i64p,
+                                    u8p, i64p, i32p]
+    lib.cs_apply_round.restype = None
+    lib.cs_apply_round.argtypes = [ct.c_void_p, ct.c_int32, ct.c_int32,
+                                   ct.c_int32] + [i32p] * 6
+    lib.cs_finalize.restype = None
+    lib.cs_finalize.argtypes = [ct.c_void_p, ct.c_int64, ct.c_char_p, i64p,
+                                ct.c_char_p, i64p, ct.c_char_p, i64p,
+                                ct.c_char_p]
+    lib.cs_sam_len.restype = ct.c_int64
+    lib.cs_sam_len.argtypes = [ct.c_void_p, ct.c_int32]
+    lib.cs_sam_copy.restype = None
+    lib.cs_sam_copy.argtypes = [ct.c_void_p, ct.c_int32, ct.c_char_p]
+    lib.cs_batch_destroy.restype = None
+    lib.cs_batch_destroy.argtypes = [ct.c_void_p]
+    _lib = lib
+    return lib
+
+
+def _ptr(a: np.ndarray, typ):
+    return a.ctypes.data_as(ct.POINTER(typ))
+
+
+MAX_BAND_TRY = 2
+
+
+class NativeTail:
+    """Runs the post-SAL tail for one batch through the native library."""
+
+    def __init__(self, opt: MemOptions, fm: FMIndex):
+        self.lib = _load()
+        self.opt = opt
+        self.copt = _to_csopt(opt)
+        self.fm = fm
+        self.pac = np.ascontiguousarray(fm.pac)
+        self.ann_off = np.array([a.offset for a in fm.bns.anns],
+                                dtype=np.int64)
+        self.ann_len = np.array([a.length for a in fm.bns.anns],
+                                dtype=np.int32)
+        self.ann_alt = np.array([a.is_alt for a in fm.bns.anns],
+                                dtype=np.uint8)
+        self.names = b"".join(a.name.encode() + b"\x00" for a in fm.bns.anns)
+
+    def run_batch(self, queries, matches_per_read, seeds_per_read, engine,
+                  n_processed: int, names, quals, comments,
+                  rg_id: str = "") -> list[str]:
+        R = len(queries)
+        m_counts = [len(m) for m in matches_per_read]
+        moff = np.zeros(R + 1, dtype=np.int64)
+        np.cumsum(m_counts, out=moff[1:])
+        mflat = np.zeros((int(moff[-1]), 3), dtype=np.int64)
+        i = 0
+        for ms in matches_per_read:
+            for (k, l, s, beg, end) in ms:
+                mflat[i] = (beg, end, s)
+                i += 1
+        s_counts = [len(s) for s in seeds_per_read]
+        soff = np.zeros(R + 1, dtype=np.int64)
+        np.cumsum(s_counts, out=soff[1:])
+        sflat = np.zeros((int(soff[-1]), 3), dtype=np.int64)
+        i = 0
+        for ss in seeds_per_read:
+            for s in ss:
+                sflat[i] = (s.rbeg, s.qbeg, s.len)
+                i += 1
+        return self.run_batch_flat(queries, mflat, moff, sflat, soff,
+                                   engine, n_processed, names, quals,
+                                   comments, rg_id)
+
+    def run_batch_flat(self, queries, mflat, moff, sflat, soff, engine,
+                       n_processed: int, names, quals, comments,
+                       rg_id: str = "") -> list[str]:
+        lib = self.lib
+        R = len(queries)
+        qbuf = np.concatenate(queries) if R else np.zeros(0, np.uint8)
+        qoff = np.zeros(R + 1, dtype=np.int64)
+        np.cumsum([len(q) for q in queries], out=qoff[1:])
+        mflat = np.ascontiguousarray(mflat, dtype=np.int64)
+        sflat = np.ascontiguousarray(sflat, dtype=np.int64)
+        moff = np.ascontiguousarray(moff, dtype=np.int64)
+        soff = np.ascontiguousarray(soff, dtype=np.int64)
+
+        h = lib.cs_batch_create(
+            ct.byref(self.copt), _ptr(self.pac, ct.c_uint8),
+            self.fm.l_pac, _ptr(self.ann_off, ct.c_int64),
+            _ptr(self.ann_len, ct.c_int32), _ptr(self.ann_alt, ct.c_uint8),
+            len(self.fm.bns.anns), self.names, R,
+            _ptr(qbuf, ct.c_uint8), _ptr(qoff, ct.c_int64),
+            _ptr(mflat, ct.c_int64), _ptr(moff, ct.c_int64),
+            _ptr(sflat, ct.c_int64), _ptr(soff, ct.c_int64))
+        try:
+            for side, pen in ((0, self.opt.pen_clip5),
+                              (1, self.opt.pen_clip3)):
+                for rnd in range(MAX_BAND_TRY):
+                    mq = ct.c_int64()
+                    mr = ct.c_int64()
+                    n = lib.cs_pair_buf_sizes(h, side, ct.byref(mq),
+                                              ct.byref(mr))
+                    if n == 0:
+                        break
+                    qb = np.zeros(max(int(mq.value), 1), np.uint8)
+                    rb = np.zeros(max(int(mr.value), 1), np.uint8)
+                    qo = np.zeros(n + 1, np.int64)
+                    ro = np.zeros(n + 1, np.int64)
+                    h0 = np.zeros(n, np.int32)
+                    lib.cs_export_pairs(h, side, _ptr(qb, ct.c_uint8),
+                                        _ptr(qo, ct.c_int64),
+                                        _ptr(rb, ct.c_uint8),
+                                        _ptr(ro, ct.c_int64),
+                                        _ptr(h0, ct.c_int32))
+                    w = self.opt.w << rnd
+                    res = engine_flat(engine, qb, qo, rb, ro, h0, w, pen)
+                    last = 1 if rnd + 1 == MAX_BAND_TRY else 0
+                    lib.cs_apply_round(h, side, w, last,
+                                       *[_ptr(a, ct.c_int32) for a in res])
+
+            name_buf = b"".join(n.encode() for n in names)
+            name_off = np.zeros(R + 1, np.int64)
+            np.cumsum([len(n.encode()) for n in names], out=name_off[1:])
+            if any(q for q in quals):
+                qual_buf = b"".join((q or "").encode() for q in quals)
+                qual_off = np.zeros(R + 1, np.int64)
+                np.cumsum([len((q or "").encode()) for q in quals],
+                          out=qual_off[1:])
+                qoff_p = _ptr(qual_off, ct.c_int64)
+            else:
+                qual_buf = b""
+                qoff_p = None
+            if any(c for c in comments):
+                com_buf = b"".join((c or "").encode() for c in comments)
+                com_off = np.zeros(R + 1, np.int64)
+                np.cumsum([len((c or "").encode()) for c in comments],
+                          out=com_off[1:])
+                coff_p = _ptr(com_off, ct.c_int64)
+            else:
+                com_buf = b""
+                coff_p = None
+            lib.cs_finalize(h, n_processed, name_buf,
+                            _ptr(name_off, ct.c_int64), qual_buf, qoff_p,
+                            com_buf, coff_p,
+                            rg_id.encode() if rg_id else None)
+            out = []
+            for r in range(R):
+                ln = lib.cs_sam_len(h, r)
+                buf = ct.create_string_buffer(int(ln))
+                lib.cs_sam_copy(h, r, buf)
+                out.append(buf.raw.decode())
+            return out
+        finally:
+            lib.cs_batch_destroy(h)
+
+
+def engine_flat(engine, qbuf, qoff, rbuf, roff, h0, w, pen):
+    """Run flat pair buffers through the engine; returns six int32 arrays."""
+    if hasattr(engine, "run_flat"):
+        return engine.run_flat(qbuf, qoff, rbuf, roff, h0, w, pen)
+    from compseed_tpu.pipeline.extension import SeqPair
+    n = len(h0)
+    pairs = [SeqPair(qs=qbuf[qoff[i]:qoff[i + 1]],
+                     rs=rbuf[roff[i]:roff[i + 1]],
+                     h0=int(h0[i]), seqid=0, regid=i) for i in range(n)]
+    res = engine(pairs, w, pen)
+    arrs = [np.zeros(n, np.int32) for _ in range(6)]
+    for i, tup in enumerate(res):
+        for j in range(6):
+            arrs[j][i] = tup[j]
+    return arrs

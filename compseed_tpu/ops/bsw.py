@@ -182,37 +182,71 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _bucket(x: int, lo: int) -> int:
+    """Next power-of-two-ish size >= x, to bound the jit-cache key set."""
+    b = lo
+    while b < x:
+        b <<= 1
+    return b
+
+
+def _pack_rows(buf: np.ndarray, off: np.ndarray, P: int, W: int) -> tuple:
+    """Scatter flat concatenated segments into a padded (P, W) matrix."""
+    n = len(off) - 1
+    lens = (off[1:] - off[:-1]).astype(np.int64)
+    out = np.full((P, W), 4, dtype=np.uint8)
+    if len(buf):
+        rows = np.repeat(np.arange(n), lens)
+        cols = np.arange(len(buf)) - np.repeat(off[:-1], lens)
+        out[rows, cols] = buf
+    return out, lens.astype(np.int32)
+
+
 class BswRunner:
-    """Pads SeqPair batches to bucketed static shapes and runs bsw_extend."""
+    """Pads pair batches to bucketed static shapes and runs bsw_extend."""
 
     def __init__(self, opt, mat: np.ndarray):
         self.opt = opt
         self.mat = jnp.asarray(mat.reshape(5, 5).astype(np.int32))
         self.max_sc = int(mat.max())
 
-    def __call__(self, pairs, w: int, pen_clip: int):
-        if not pairs:
-            return []
+    def run_flat(self, qbuf: np.ndarray, qoff: np.ndarray, rbuf: np.ndarray,
+                 roff: np.ndarray, h0: np.ndarray, w: int, pen_clip: int):
+        """Flat-buffer interface; returns six (n,) int32 numpy arrays."""
+        n = len(h0)
+        if n == 0:
+            z = np.zeros(0, np.int32)
+            return (z,) * 6
         opt = self.opt
-        P = _round_up(len(pairs), 64)
-        Q = _round_up(max(max(len(sp.qs) for sp in pairs), 1), 32)
-        T = _round_up(max(max(len(sp.rs) for sp in pairs), 1), 32)
-        queries = np.full((P, Q), 4, dtype=np.uint8)
-        targets = np.full((P, T), 4, dtype=np.uint8)
-        qlens = np.zeros(P, dtype=np.int32)
-        tlens = np.zeros(P, dtype=np.int32)
-        h0s = np.ones(P, dtype=np.int32)
-        for i, sp in enumerate(pairs):
-            queries[i, :len(sp.qs)] = sp.qs
-            targets[i, :len(sp.rs)] = sp.rs
-            qlens[i] = len(sp.qs)
-            tlens[i] = len(sp.rs)
-            h0s[i] = sp.h0
+        P = _bucket(n, 64)
+        Q = _bucket(int((qoff[1:] - qoff[:-1]).max(initial=1)), 32)
+        T = _bucket(int((roff[1:] - roff[:-1]).max(initial=1)), 32)
+        queries, qlens = _pack_rows(qbuf, qoff, P, Q)
+        targets, tlens = _pack_rows(rbuf, roff, P, T)
+        h0p = np.ones(P, dtype=np.int32)
+        h0p[:n] = h0
+        qlp = np.zeros(P, np.int32)
+        qlp[:n] = qlens
+        tlp = np.zeros(P, np.int32)
+        tlp[:n] = tlens
         out = bsw_extend(opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
                          opt.zdrop, pen_clip, self.max_sc, self.mat,
                          jnp.int32(w), jnp.asarray(queries),
-                         jnp.asarray(qlens), jnp.asarray(targets),
-                         jnp.asarray(tlens), jnp.asarray(h0s))
-        arrs = [np.asarray(a) for a in out]
-        n = len(pairs)
-        return [tuple(int(a[i]) for a in arrs) for i in range(n)]
+                         jnp.asarray(qlp), jnp.asarray(targets),
+                         jnp.asarray(tlp), jnp.asarray(h0p))
+        return tuple(np.asarray(a)[:n].astype(np.int32) for a in out)
+
+    def __call__(self, pairs, w: int, pen_clip: int):
+        if not pairs:
+            return []
+        qoff = np.zeros(len(pairs) + 1, np.int64)
+        roff = np.zeros(len(pairs) + 1, np.int64)
+        np.cumsum([len(sp.qs) for sp in pairs], out=qoff[1:])
+        np.cumsum([len(sp.rs) for sp in pairs], out=roff[1:])
+        qbuf = np.concatenate([sp.qs for sp in pairs]) if qoff[-1] else \
+            np.zeros(0, np.uint8)
+        rbuf = np.concatenate([sp.rs for sp in pairs]) if roff[-1] else \
+            np.zeros(0, np.uint8)
+        h0 = np.array([sp.h0 for sp in pairs], np.int32)
+        arrs = self.run_flat(qbuf, qoff, rbuf, roff, h0, w, pen_clip)
+        return [tuple(int(a[i]) for a in arrs) for i in range(len(pairs))]

@@ -36,8 +36,8 @@ from compseed_tpu.ops.device_index import DeviceFMIndex, to_device
 from compseed_tpu.pipeline.seeding import SeedingStats
 from compseed_tpu.pipeline.types import Seed
 
-MLEP = 64    # LEP frontier cap (ample: pushes need distinct interval sizes)
-MMEM = 64    # SMEMs per collect call
+MLEP = 32    # LEP frontier cap (pushes need distinct interval sizes)
+MMEM = 32    # SMEMs per collect call
 MMEM3 = 32   # round-3 seeds per read
 
 
@@ -105,7 +105,19 @@ def _collect_one(fm: DeviceFMIndex, L: int, q, pivot, min_hits, active):
         return dict(ik=ik, end=end, stopped=stopped, ret=ret, lep=lep,
                     lep_end=lep_end, cnt=cnt, ovf=ovf, next_c=st["next_c"])
 
-    st = jax.lax.fori_loop(0, L, fwd_step, fwd_init)
+    fwd_init["t"] = jnp.asarray(0, i32)
+
+    def fwd_cond(st):
+        return (~st["stopped"]) & (pivot + 1 + st["t"] < L)
+
+    def fwd_body(st):
+        t = st.pop("t")
+        st = fwd_step(t, st)
+        st["t"] = t + 1
+        return st
+
+    st = jax.lax.while_loop(fwd_cond, fwd_body, fwd_init)
+    st.pop("t")
 
     # final push when the sweep reached the read end (comp_seed.cpp:97)
     reached_end = (~st["stopped"]) & ~bad_start
@@ -184,7 +196,18 @@ def _collect_one(fm: DeviceFMIndex, L: int, q, pivot, min_hits, active):
         return dict(cur=cur_out, cur_end=end_out, n=n_out, mems=mems,
                     n_mems=n_mems, last_beg=last_beg, done=done, ovf=ovf)
 
-    bst = jax.lax.fori_loop(0, L + 1, bwd_step, bwd_init)
+    bwd_init["u"] = jnp.asarray(0, i32)
+
+    def bwd_cond(st):
+        return (~st["done"]) & (st["u"] <= pivot)
+
+    def bwd_body(st):
+        u = st.pop("u")
+        st = bwd_step(u, st)
+        st["u"] = u + 1
+        return st
+
+    bst = jax.lax.while_loop(bwd_cond, bwd_body, bwd_init)
 
     mems_out = jnp.where(fast, mems_fast, bst["mems"])
     n_out = jnp.where(fast, 1, bst["n_mems"])
@@ -274,9 +297,49 @@ class BatchSeeder:
             self._sa_cache["f"] = jax.jit(partial(dfm.sa_batch, self.dfi))
         return self._sa_cache["f"]
 
+    SEED_BLOCK = 8192
+
     # ------------------------------------------------------------------
+    def run_flat(self, queries: list[np.ndarray],
+                 stats: SeedingStats | None = None):
+        """Vectorized interface: returns (mflat, moff, sflat, soff) where
+        mflat rows are (beg, end, occ) and sflat rows are (rbeg, qbeg, len)
+        — the native tail's input format, no per-object Python."""
+        outs = [self._run(queries[s: s + self.SEED_BLOCK], stats)
+                for s in range(0, len(queries), self.SEED_BLOCK)]
+        if len(outs) == 1:
+            return outs[0]
+        mflat = np.concatenate([o[0] for o in outs])
+        sflat = np.concatenate([o[2] for o in outs])
+        moff = np.concatenate(
+            [outs[0][1]] + [o[1][1:] + off for o, off in
+                            zip(outs[1:], np.cumsum(
+                                [o[1][-1] for o in outs[:-1]]))])
+        soff = np.concatenate(
+            [outs[0][3]] + [o[3][1:] + off for o, off in
+                            zip(outs[1:], np.cumsum(
+                                [o[3][-1] for o in outs[:-1]]))])
+        return mflat, moff, sflat, soff
+
     def __call__(self, fm, opt, queries: list[np.ndarray],
                  stats: SeedingStats | None = None):
+        """Legacy per-read interface for the Python tail and tests."""
+        out = []
+        for s in range(0, len(queries), self.SEED_BLOCK):
+            block = queries[s: s + self.SEED_BLOCK]
+            mflat, moff, sflat, soff = self._run(block, stats)
+            for r in range(len(block)):
+                ms = [tuple(int(x) for x in row)
+                      for row in self._mrows[moff[r]: moff[r + 1]]]
+                seeds = [Seed(rbeg=int(rb), qbeg=int(qb), len=int(ln),
+                              score=int(ln))
+                         for rb, qb, ln in sflat[soff[r]: soff[r + 1]]]
+                out.append((ms, seeds))
+        return out
+
+    def _run(self, queries: list[np.ndarray],
+             stats: SeedingStats | None = None):
+        opt = self.opt
         R = len(queries)
         L = _round_up(max(len(q) for q in queries), 32)
         qarr = np.full((R, L), 4, dtype=np.uint8)
@@ -285,17 +348,40 @@ class BatchSeeder:
             qarr[i, :len(q)] = q
             lens[i] = len(q)
         # NB: padding with 4 (ambiguous) naturally terminates sweeps at the
-        # true read end, but ret_pivot would stall; lanes go inactive when
-        # pivot >= true length (checked on host).
+        # true read end; ret_pivot is clamped to the true length below.
         qdev = jnp.asarray(qarr)
         collect = self._collect_fn(L)
 
-        matches: list[list[tuple]] = [[] for _ in range(R)]
+        chunks: list[np.ndarray] = []  # (M, 6): read, k, l, s, beg, end
 
-        def run_collect(q_rows, piv, mh, act):
-            """Pad the lane count to a bucket so jit caches stay warm."""
+        def add_rows(read_ids, mems, counts, min_len, max_end=None):
+            valid = np.arange(mems.shape[1])[None, :] < counts[:, None]
+            lane, slot = np.nonzero(valid)
+            if len(lane) == 0:
+                return
+            rows = mems[lane, slot].astype(np.int64)      # k,l,s,beg,end
+            rids = read_ids[lane].astype(np.int64)
+            keep = (rows[:, 4] - rows[:, 3]) >= min_len
+            keep &= rows[:, 2] > 0
+            if max_end is not None:
+                keep &= rows[:, 4] <= max_end[lane]
+            rows = rows[keep]
+            rids = rids[keep]
+            chunks.append(np.concatenate([rids[:, None], rows], axis=1))
+
+        def add_tuples(r, ms, min_len):
+            rows = np.array([(r, k, l, s, beg, end)
+                             for (k, l, s, beg, end) in ms
+                             if end - beg >= min_len and s > 0],
+                            dtype=np.int64).reshape(-1, 6)
+            if len(rows):
+                chunks.append(rows)
+
+        def run_collect(q_rows, piv, mh):
             n_lanes = len(piv)
-            P = _round_up(max(n_lanes, 1), 64)
+            P = 64
+            while P < n_lanes:
+                P <<= 1
             qp = np.full((P, L), 4, dtype=np.uint8)
             qp[:n_lanes] = q_rows
             pp = np.zeros(P, np.int32)
@@ -303,126 +389,120 @@ class BatchSeeder:
             hh = np.ones(P, np.int32)
             hh[:n_lanes] = mh
             aa = np.zeros(P, bool)
-            aa[:n_lanes] = act
+            aa[:n_lanes] = True
             mems, n, ret, ovf = collect(jnp.asarray(qp), jnp.asarray(pp),
                                         jnp.asarray(hh), jnp.asarray(aa))
             return (np.asarray(mems)[:n_lanes], np.asarray(n)[:n_lanes],
                     np.asarray(ret)[:n_lanes], np.asarray(ovf)[:n_lanes])
 
-        # -------- round 1: repeated collect until every pivot passes L
+        # -------- round 1: repeated collect; later iterations compact to
+        # the (rapidly shrinking) set of still-active reads
         pivots = np.zeros(R, dtype=np.int32)
         while True:
-            act = pivots < lens
-            if not act.any():
+            idxs = np.nonzero(pivots < lens)[0]
+            if len(idxs) == 0:
                 break
             mems, n, ret, ovf = run_collect(
-                qarr, np.where(act, pivots, 0).astype(np.int32),
-                np.ones(R, np.int32), act)
-            for r in range(R):
-                if not act[r]:
-                    continue
-                if ovf[r]:  # exactness fallback
-                    ms, rp = fo.collect_mem(self.fm, queries[r],
-                                            int(pivots[r]), 1)
-                    for m in ms:
-                        if m[4] - m[3] >= opt.min_seed_len:
-                            matches[r].append(m)
-                    pivots[r] = rp
-                    continue
-                for j in range(int(n[r]) - 1, -1, -1):  # ascending beg
-                    k, l, s, beg, end = (int(x) for x in mems[r, j])
-                    if end - beg >= opt.min_seed_len:
-                        matches[r].append((k, l, s, beg, end))
-                pivots[r] = min(int(ret[r]), int(lens[r]))
-                if pivots[r] <= 0:
-                    pivots[r] = int(lens[r])  # safety: always progress
+                qarr[idxs], pivots[idxs], np.ones(len(idxs), np.int32))
+            ovf_lanes = np.nonzero(ovf)[0]
+            n = n.copy()
+            for t in ovf_lanes:  # exactness fallback per overflowing read
+                r = idxs[t]
+                ms, rp = fo.collect_mem(self.fm, queries[r],
+                                        int(pivots[r]), 1)
+                add_tuples(r, ms, opt.min_seed_len)
+                n[t] = 0
+                ret[t] = rp
+            add_rows(idxs, mems, n, opt.min_seed_len)
+            pivots[idxs] = np.minimum(ret, lens[idxs])
+            bad = pivots[idxs] <= 0
+            if bad.any():
+                pivots[idxs[bad]] = lens[idxs[bad]]  # safety: progress
+
+        r1 = np.concatenate(chunks) if chunks else np.zeros((0, 6), np.int64)
 
         # -------- round 2: re-seed long low-occ matches from midpoints
         split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
-        reqs = []  # (read, pivot, min_hits)
-        for r in range(R):
-            for (k, l, s, beg, end) in list(matches[r]):
-                if end - beg < split_len or s > opt.split_width:
-                    continue
-                reqs.append((r, (beg + end) // 2, s + 1))
-        if reqs:
-            RR = len(reqs)
-            q2 = qarr[[t[0] for t in reqs]]
-            p2 = np.array([t[1] for t in reqs], dtype=np.int32)
-            h2 = np.array([t[2] for t in reqs], dtype=np.int32)
-            mems, n, _, ovf = run_collect(q2, p2, h2, np.ones(RR, bool))
-            for t, (r, piv, mh) in enumerate(reqs):
-                if ovf[t]:
-                    ms, _ = fo.collect_mem(self.fm, queries[r], piv, mh)
-                    for m in ms:
-                        if m[4] - m[3] >= opt.min_seed_len:
-                            matches[r].append(m)
-                    continue
-                for j in range(int(n[t]) - 1, -1, -1):
-                    k, l, s, beg, end = (int(x) for x in mems[t, j])
-                    if end - beg >= opt.min_seed_len:
-                        matches[r].append((k, l, s, beg, end))
+        sel = ((r1[:, 5] - r1[:, 4] >= split_len) &
+               (r1[:, 3] <= opt.split_width))
+        if sel.any():
+            rr = r1[sel]
+            rids2 = rr[:, 0].astype(np.int64)
+            p2 = ((rr[:, 4] + rr[:, 5]) // 2).astype(np.int32)
+            h2 = (rr[:, 3] + 1).astype(np.int32)
+            mems, n, _, ovf = run_collect(qarr[rids2], p2, h2)
+            ovf_lanes = np.nonzero(ovf)[0]
+            n = n.copy()
+            for t in ovf_lanes:
+                r = int(rids2[t])
+                ms, _ = fo.collect_mem(self.fm, queries[r], int(p2[t]),
+                                       int(h2[t]))
+                add_tuples(r, ms, opt.min_seed_len)
+                n[t] = 0
+            add_rows(rids2, mems, n, opt.min_seed_len)
 
         # -------- round 3: greedy forward seeding
         if opt.max_mem_intv > 0:
             mems, n, ovf = self._round3_fn(L)(
                 qdev, jnp.asarray(np.ones(R, bool)))
             mems = np.asarray(mems)
-            n = np.asarray(n)
+            n = np.asarray(n).copy()
             ovf = np.asarray(ovf)
-            for r in range(R):
-                if ovf[r]:
-                    j = 0
-                    while j < lens[r]:
-                        if queries[r][j] < 4:
-                            mem, j = fo.seed_strategy1(
-                                self.fm, queries[r], j, opt.min_seed_len,
-                                opt.max_mem_intv)
-                            if mem is not None and mem[2] > 0:
-                                matches[r].append(mem)
-                        else:
-                            j += 1
-                    continue
-                for j in range(int(n[r])):
-                    k, l, s, beg, end = (int(x) for x in mems[r, j])
-                    if end > lens[r]:
-                        continue  # hits inside query padding are impossible
-                    if s > 0:
-                        matches[r].append((k, l, s, beg, end))
+            for r in np.nonzero(ovf)[0]:
+                j = 0
+                ms = []
+                while j < lens[r]:
+                    if queries[r][j] < 4:
+                        mem, j = fo.seed_strategy1(
+                            self.fm, queries[r], j, opt.min_seed_len,
+                            opt.max_mem_intv)
+                        if mem is not None and mem[2] > 0:
+                            ms.append(mem)
+                    else:
+                        j += 1
+                add_tuples(int(r), ms, 0)
+                n[r] = 0
+            add_rows(np.arange(R), mems, n, 0, max_end=lens)
 
-        for r in range(R):
-            matches[r].sort(key=lambda m: (m[3] << 32) | m[4])
+        allm = np.concatenate(chunks) if chunks else np.zeros((0, 6),
+                                                              np.int64)
+        order = np.lexsort((allm[:, 5], allm[:, 4], allm[:, 0]))
+        allm = allm[order]
+        moff = np.zeros(R + 1, dtype=np.int64)
+        np.cumsum(np.bincount(allm[:, 0], minlength=R), out=moff[1:])
+        self._mrows = allm[:, [1, 2, 3, 4, 5]]  # (k, l, s, beg, end)
 
-        # -------- seed sampling + merged SAL on device
-        per_read_seeds: list[list[Seed]] = []
-        all_locs = []
-        for r in range(R):
-            seeds = []
-            for k, l, s, beg, end in matches[r]:
-                step = s // opt.max_occ if s > opt.max_occ else 1
-                cnt = 0
-                kk = 0
-                while kk < s and cnt < opt.max_occ:
-                    seeds.append(Seed(rbeg=k + kk, qbeg=beg, len=end - beg,
-                                      score=end - beg))
-                    all_locs.append(k + kk)
-                    kk += step
-                    cnt += 1
-            per_read_seeds.append(seeds)
-        if all_locs:
-            uniq = np.unique(np.array(all_locs, dtype=np.int64))
-            pad = _round_up(len(uniq), 256)
-            padded = np.zeros(pad, dtype=np.int64)
-            padded[:len(uniq)] = uniq
+        # -------- seed sampling (comp_seed.cpp:2313-2324), vectorized
+        occ = allm[:, 3]
+        step = np.where(occ > opt.max_occ,
+                        occ // np.int64(opt.max_occ), 1)
+        cnt = np.minimum(-(-occ // step), opt.max_occ).astype(np.int64)
+        total = int(cnt.sum())
+        midx = np.repeat(np.arange(len(allm)), cnt)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt)
+        locs = allm[midx, 1] + within * step[midx]
+        sflat = np.empty((total, 3), dtype=np.int64)
+        sflat[:, 1] = allm[midx, 4]                      # qbeg
+        sflat[:, 2] = allm[midx, 5] - allm[midx, 4]      # len
+        soff = np.zeros(R + 1, dtype=np.int64)
+        np.cumsum(np.bincount(allm[midx, 0], minlength=R), out=soff[1:])
+
+        # -------- merged SAL on device (comp_seed.cpp:2306-2347)
+        if total:
+            uniq = np.unique(locs)
+            P = 256
+            while P < len(uniq):
+                P <<= 1
+            padded = np.zeros(P, dtype=np.int64)
+            padded[: len(uniq)] = uniq
             vals = np.asarray(self._sa_fn()(jnp.asarray(padded)))[:len(uniq)]
-            table = dict(zip(uniq.tolist(), vals.tolist()))
-            for seeds in per_read_seeds:
-                for s in seeds:
-                    s.rbeg = int(table[s.rbeg])
+            sflat[:, 0] = vals[np.searchsorted(uniq, locs)]
             if stats is not None:
-                stats.sal_queries += len(all_locs)
+                stats.sal_queries += total
                 stats.sal_calls += len(uniq)
-        return list(zip(matches, per_read_seeds))
+        mflat = allm[:, [4, 5, 3]].copy()  # (beg, end, occ)
+        return mflat, moff, sflat, soff
 
 
 def _round_up(x: int, m: int) -> int:

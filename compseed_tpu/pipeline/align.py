@@ -29,12 +29,24 @@ def encode_read(seq: str) -> np.ndarray:
 def align_batch(opt: MemOptions, fm: FMIndex, reads: list[Read],
                 n_processed: int, engine=None,
                 stats: seeding.SeedingStats | None = None,
-                seeder=None) -> None:
+                seeder=None, tail=None, rg_id: str = "") -> None:
     """Align reads[start:end] in place (fills .sam). ``n_processed`` is the
     global index of reads[0] (hash tie-breaking depends on it)."""
     if engine is None:
         engine = extension.oracle_engine(opt)
     queries = [encode_read(r.seq) for r in reads]
+
+    # fast path: flat seeder output straight into the native tail
+    if seeder is not None and tail is not None and \
+            hasattr(seeder, "run_flat"):
+        mflat, moff, sflat, soff = seeder.run_flat(queries, stats)
+        sams = tail.run_batch_flat(
+            queries, mflat, moff, sflat, soff, engine, n_processed,
+            [r.name for r in reads], [r.qual for r in reads],
+            [r.comment for r in reads], rg_id)
+        for r, sam in zip(reads, sams):
+            r.sam = sam
+        return
 
     # --- seeding + merged SAL (comp_seed.cpp:2262-2347)
     if seeder is not None:
@@ -47,6 +59,15 @@ def align_batch(opt: MemOptions, fm: FMIndex, reads: list[Read],
         seeds_per_read = [seeding.sample_seeds(opt, m)
                           for m in matches_per_read]
         seeding.resolve_sal(fm, seeds_per_read, stats)
+
+    if tail is not None:  # native host tail (csrc/compseed_host.cpp)
+        sams = tail.run_batch(
+            queries, matches_per_read, seeds_per_read, engine, n_processed,
+            [r.name for r in reads], [r.qual for r in reads],
+            [r.comment for r in reads], rg_id)
+        for r, sam in zip(reads, sams):
+            r.sam = sam
+        return
 
     # --- chaining + filtering (comp_seed.cpp:2356-2370)
     chains_per_read = []
@@ -71,16 +92,26 @@ def align_batch(opt: MemOptions, fm: FMIndex, reads: list[Read],
         if opt.flag & 0x800:  # MEM_F_PRIMARY5
             finalize.mem_reorder_primary5(opt.T, regs)
         read.sam = finalize.mem_reg2sam(opt, fm, read.name, q, read.qual,
-                                        read.comment, regs)
+                                        read.comment, regs, rg_id=rg_id)
 
 
 def align_chunk(opt: MemOptions, fm: FMIndex, reads: list[Read],
                 n_processed: int, engine=None,
                 stats: seeding.SeedingStats | None = None,
-                seeder=None) -> None:
-    """Process one -K chunk in compressive batches of opt.batch_size."""
+                seeder=None, tail=None, rg_id: str = "") -> None:
+    """Process one -K chunk.
+
+    With the device seeder and native tail, the whole chunk runs as one
+    batch (device kernels and DP batches span the chunk; there is no
+    cross-read state, so the reference's 512-read grouping is purely a
+    locality knob).  Otherwise fall back to per-BATCH_SIZE groups.
+    """
+    if seeder is not None and tail is not None:
+        align_batch(opt, fm, reads, n_processed, engine, stats, seeder,
+                    tail, rg_id)
+        return
     bs = opt.batch_size
     for start in range(0, len(reads), bs):
         batch = reads[start: start + bs]
         align_batch(opt, fm, batch, n_processed + start, engine, stats,
-                    seeder)
+                    seeder, tail, rg_id)

@@ -111,8 +111,10 @@ def mem_chain(opt: MemOptions, fm: FMIndex, l_query: int,
         else:
             end = max(end, mend)
     l_rep += end - beg
+    # mem_chain_t.frac_rep is a C float (comp_seed.h:100); keep f32 rounding
+    frac = float(np.float32(l_rep / l_query))
     for c in chains:
-        c.frac_rep = l_rep / l_query
+        c.frac_rep = frac
     return chains
 
 

@@ -1,8 +1,9 @@
 import os
 
 # Tests run on a virtual multi-device CPU platform; the TPU path is exercised
-# by bench.py / __graft_entry__.py on real hardware.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# by bench.py / __graft_entry__.py on real hardware.  NB: the machine's
+# sitecustomize force-sets JAX_PLATFORMS=axon, so assign, don't setdefault.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
