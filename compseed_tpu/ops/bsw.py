@@ -64,8 +64,10 @@ def bsw_extend(o_del: int, e_del: int, o_ins: int, e_ins: int,
     h = jnp.where(jj[None, :] <= qlens[:, None], h, 0).astype(i32)
     e = jnp.zeros((P, Q + 1), dtype=i32)
 
-    # query profile rows are gathered per target row from the 5x5 matrix
+    # per-base query profiles, computed once; rows select by target char
+    # (replaces a per-row 2D gather, which lowers poorly)
     qidx = queries.astype(i32)
+    qprof = [mat[c][qidx] for c in range(5)]  # 5 x (P, Q)
 
     init = dict(
         h=h, e=e,
@@ -85,7 +87,9 @@ def bsw_extend(o_del: int, e_del: int, o_ins: int, e_ins: int,
                             0).astype(i32)
 
         tchar = targets[:, i].astype(i32)                     # (P,)
-        score = mat[tchar[:, None], qidx]                     # (P, Q)
+        score = qprof[4]
+        for c in range(4):
+            score = jnp.where((tchar == c)[:, None], qprof[c], score)
 
         inb = (jq[None, :] >= beg[:, None]) & (jq[None, :] < end[:, None])
         Hdiag = st["h"][:, :Q]
@@ -173,9 +177,21 @@ def bsw_extend(o_del: int, e_del: int, o_ins: int, e_ins: int,
                     max_i=max_i, max_j=max_j, max_ie=max_ie, gscore=gscore,
                     max_off=max_off, broken=broken)
 
-    st = jax.lax.fori_loop(0, T, row_step, init)
-    return (st["best"], st["max_j"] + 1, st["max_i"] + 1, st["max_ie"] + 1,
-            st["gscore"], st["max_off"])
+    init["i"] = jnp.asarray(0, i32)
+
+    def cond(st):
+        return (st["i"] < T) & jnp.any((~st["broken"]) & (st["i"] < tlens))
+
+    def body(st):
+        i = st.pop("i")
+        st = row_step(i, st)
+        st["i"] = i + 1
+        return st
+
+    st = jax.lax.while_loop(cond, body, init)
+    # single packed output: one device->host transfer for all six results
+    return jnp.stack([st["best"], st["max_j"] + 1, st["max_i"] + 1,
+                      st["max_ie"] + 1, st["gscore"], st["max_off"]])
 
 
 def _round_up(x: int, m: int) -> int:
@@ -229,12 +245,13 @@ class BswRunner:
         qlp[:n] = qlens
         tlp = np.zeros(P, np.int32)
         tlp[:n] = tlens
-        out = bsw_extend(opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
-                         opt.zdrop, pen_clip, self.max_sc, self.mat,
-                         jnp.int32(w), jnp.asarray(queries),
-                         jnp.asarray(qlp), jnp.asarray(targets),
-                         jnp.asarray(tlp), jnp.asarray(h0p))
-        return tuple(np.asarray(a)[:n].astype(np.int32) for a in out)
+        out = np.asarray(bsw_extend(
+            opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+            opt.zdrop, pen_clip, self.max_sc, self.mat,
+            jnp.int32(w), jnp.asarray(queries),
+            jnp.asarray(qlp), jnp.asarray(targets),
+            jnp.asarray(tlp), jnp.asarray(h0p)))
+        return tuple(out[j, :n].astype(np.int32) for j in range(6))
 
     def __call__(self, pairs, w: int, pen_clip: int):
         if not pairs:

@@ -213,7 +213,10 @@ def _collect_one(fm: DeviceFMIndex, L: int, q, pivot, min_hits, active):
     n_out = jnp.where(fast, 1, bst["n_mems"])
     n_out = jnp.where(bad_start, 0, n_out)
     overflow = ovf | bst["ovf"]
-    return mems_out, n_out, ret, overflow
+    return jnp.concatenate([
+        mems_out.reshape(-1).astype(dt),
+        jnp.stack([n_out.astype(dt), ret.astype(dt),
+                   overflow.astype(dt)])])
 
 
 def _seed_strategy_one(fm: DeviceFMIndex, L: int, min_len: int,
@@ -263,7 +266,9 @@ def _seed_strategy_one(fm: DeviceFMIndex, L: int, min_len: int,
         return dict(s0=s0, ik=ik, mems=mems, n=n, ovf=ovf)
 
     st = jax.lax.fori_loop(0, L, step, init)
-    return st["mems"], st["n"], st["ovf"]
+    return jnp.concatenate([
+        st["mems"].reshape(-1).astype(dt),
+        jnp.stack([st["n"].astype(dt), st["ovf"].astype(dt)])])
 
 
 class BatchSeeder:
@@ -390,10 +395,13 @@ class BatchSeeder:
             hh[:n_lanes] = mh
             aa = np.zeros(P, bool)
             aa[:n_lanes] = True
-            mems, n, ret, ovf = collect(jnp.asarray(qp), jnp.asarray(pp),
-                                        jnp.asarray(hh), jnp.asarray(aa))
-            return (np.asarray(mems)[:n_lanes], np.asarray(n)[:n_lanes],
-                    np.asarray(ret)[:n_lanes], np.asarray(ovf)[:n_lanes])
+            packed = np.asarray(collect(jnp.asarray(qp), jnp.asarray(pp),
+                                        jnp.asarray(hh), jnp.asarray(aa)))
+            packed = packed[:n_lanes]
+            mems = packed[:, : MMEM * 5].reshape(n_lanes, MMEM, 5)
+            return (mems, packed[:, MMEM * 5].astype(np.int64),
+                    packed[:, MMEM * 5 + 1].astype(np.int64),
+                    packed[:, MMEM * 5 + 2] != 0)
 
         # -------- round 1: repeated collect; later iterations compact to
         # the (rapidly shrinking) set of still-active reads
@@ -443,11 +451,11 @@ class BatchSeeder:
 
         # -------- round 3: greedy forward seeding
         if opt.max_mem_intv > 0:
-            mems, n, ovf = self._round3_fn(L)(
-                qdev, jnp.asarray(np.ones(R, bool)))
-            mems = np.asarray(mems)
-            n = np.asarray(n).copy()
-            ovf = np.asarray(ovf)
+            packed = np.asarray(self._round3_fn(L)(
+                qdev, jnp.asarray(np.ones(R, bool))))
+            mems = packed[:, : MMEM3 * 5].reshape(R, MMEM3, 5)
+            n = packed[:, MMEM3 * 5].astype(np.int64).copy()
+            ovf = packed[:, MMEM3 * 5 + 1] != 0
             for r in np.nonzero(ovf)[0]:
                 j = 0
                 ms = []

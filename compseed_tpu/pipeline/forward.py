@@ -29,12 +29,14 @@ def align_forward_step(dfi: DeviceFMIndex, qbatch: jax.Array,
     i32 = jnp.int32
 
     collect = jax.vmap(partial(dsmem._collect_one, dfi, L))
-    mems, n_mems, _, _ = collect(
+    packed = collect(
         qbatch,
         jnp.zeros(B, i32),
         jnp.ones(B, i32),
         jnp.ones(B, jnp.bool_),
     )
+    mems = packed[:, : dsmem.MMEM * 5].reshape(B, dsmem.MMEM, 5)
+    n_mems = packed[:, dsmem.MMEM * 5].astype(i32)
     # longest match per read
     valid = jnp.arange(mems.shape[1])[None, :] < n_mems[:, None]
     lens = jnp.where(valid, (mems[:, :, 4] - mems[:, :, 3]).astype(i32), -1)
