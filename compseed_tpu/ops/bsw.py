@@ -219,12 +219,24 @@ def _pack_rows(buf: np.ndarray, off: np.ndarray, P: int, W: int) -> tuple:
 
 
 class BswRunner:
-    """Pads pair batches to bucketed static shapes and runs bsw_extend."""
+    """Pads pair batches to bucketed static shapes and runs the DP.
 
-    def __init__(self, opt, mat: np.ndarray):
+    On TPU the Pallas kernel (ops/bsw_pallas.py) runs; pairs are sorted
+    by target length so each LT-lane grid tile early-exits at its own
+    longest target (the TPU analogue of the reference's sortPairsLen
+    radix bucketing, mapping/comp_seed.cpp:1275-1314).  On CPU the XLA
+    program is used (same integer semantics, differentially tested).
+    """
+
+    def __init__(self, opt, mat: np.ndarray, use_pallas: bool | None = None):
         self.opt = opt
         self.mat = jnp.asarray(mat.reshape(5, 5).astype(np.int32))
+        self.mat25 = jnp.asarray(mat.reshape(1, 25).astype(np.int32))
         self.max_sc = int(mat.max())
+        if use_pallas is None:
+            import jax
+            use_pallas = jax.default_backend() != "cpu"
+        self.use_pallas = use_pallas
 
     def run_flat(self, qbuf: np.ndarray, qoff: np.ndarray, rbuf: np.ndarray,
                  roff: np.ndarray, h0: np.ndarray, w: int, pen_clip: int):
@@ -234,6 +246,8 @@ class BswRunner:
             z = np.zeros(0, np.int32)
             return (z,) * 6
         opt = self.opt
+        if self.use_pallas:
+            return self._run_pallas(qbuf, qoff, rbuf, roff, h0, w, pen_clip)
         P = _bucket(n, 64)
         Q = _bucket(int((qoff[1:] - qoff[:-1]).max(initial=1)), 32)
         T = _bucket(int((roff[1:] - roff[:-1]).max(initial=1)), 32)
@@ -252,6 +266,41 @@ class BswRunner:
             jnp.asarray(qlp), jnp.asarray(targets),
             jnp.asarray(tlp), jnp.asarray(h0p)))
         return tuple(out[j, :n].astype(np.int32) for j in range(6))
+
+    def _run_pallas(self, qbuf, qoff, rbuf, roff, h0, w: int, pen_clip: int):
+        from compseed_tpu.ops.bsw_pallas import (LT, bsw_extend_tiles,
+                                                 clamp_band)
+        opt = self.opt
+        n = len(h0)
+        qlens = (qoff[1:] - qoff[:-1]).astype(np.int32)
+        tlens = (roff[1:] - roff[:-1]).astype(np.int32)
+        order = np.argsort(tlens, kind="stable")
+        P = _bucket(n, LT)
+        Q = _bucket(int(qlens.max(initial=1)), 128)
+        T = _bucket(int(tlens.max(initial=1)), 128)
+        q_packed, _ = _pack_rows(qbuf, qoff, P, Q)
+        t_packed, _ = _pack_rows(rbuf, roff, P, T)
+        queries = np.full((P, Q), 4, np.int8)
+        targets = np.full((P, T), 4, np.int8)
+        queries[:n] = q_packed[order].astype(np.int8)
+        targets[:n] = t_packed[order].astype(np.int8)
+        qlp = np.zeros((P, 1), np.int32)
+        qlp[:n, 0] = qlens[order]
+        tlp = np.zeros((P, 1), np.int32)
+        tlp[:n, 0] = tlens[order]
+        h0p = np.ones((P, 1), np.int32)
+        h0p[:n, 0] = h0[order]
+        ws = np.full((P, 1), w, np.int32)
+        ws[:n, 0] = clamp_band(qlens[order], w, self.max_sc, pen_clip,
+                               opt.o_del, opt.e_del, opt.o_ins, opt.e_ins)
+        out = np.asarray(bsw_extend_tiles(
+            self.mat25, jnp.asarray(queries), jnp.asarray(qlp),
+            jnp.asarray(targets), jnp.asarray(tlp), jnp.asarray(h0p),
+            jnp.asarray(ws), o_del=opt.o_del, e_del=opt.e_del,
+            o_ins=opt.o_ins, e_ins=opt.e_ins, zdrop=opt.zdrop))
+        inv = np.empty(n, np.int64)
+        inv[order] = np.arange(n)
+        return tuple(out[inv, j].astype(np.int32) for j in range(6))
 
     def __call__(self, pairs, w: int, pen_clip: int):
         if not pairs:

@@ -1,0 +1,292 @@
+"""Pallas TPU kernel for batched banded Smith-Waterman extension.
+
+Same integer semantics as ops/bsw.py::bsw_extend (== ksw_extend2,
+bwalib/ksw.c:380-479, == scalarBandedSWA, mapping/bandedSWA.cpp:116-237),
+re-expressed as a lane-tiled Pallas kernel: each grid step owns LT pairs,
+keeps the whole DP state (H/E rows, band, best-cell trackers) in
+VMEM/vector registers, and iterates target rows in an early-exiting
+while loop.  The XLA version round-trips ~30 HLO ops worth of (P, Q)
+intermediates through HBM per row; here a row is pure VPU work on
+(LT, Q) tiles, which is the TPU analogue of the reference's
+one-pair-per-SIMD-lane AVX layout (mapping/bandedSWA.h:57-79).
+
+State width is Q (not Q+1 as in the scalar eh[] layout): entry Q of the
+reference's eh array is written but never read (M only reads j < end <=
+Q, and the band-shrink scan's virtual entry `end` equals h1_last, which
+is tracked separately), so the stored arrays are
+  h[j] = H(i-1, j-1)   (the diagonal input for column j)
+  e[j] = E(i, j)
+and the shift h[j] <- h_new[j-1] is a lane roll.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -(1 << 29)
+LT = 256  # pairs per grid step
+
+
+# NB: all scalar constants inside the kernel must be explicit int32 —
+# with jax_enable_x64 on, bare python ints become int64 scalars, which
+# Mosaic cannot lower.
+Z = None  # set in kernel scope
+
+
+def _c(v):
+    return jnp.asarray(v, jnp.int32)
+
+
+def _row_shift_right(x, fill):
+    """x[:, j] -> x[:, j-1] with column 0 = fill (lane-axis shift)."""
+    rolled = pltpu.roll(x, _c(1), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    if not hasattr(fill, "shape"):
+        fill = _c(fill)
+    return jnp.where(col == _c(0), fill, rolled)
+
+
+def _prefix_max(x):
+    """Inclusive prefix max along axis 1 (log-shift scan)."""
+    n = x.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    s = 1
+    while s < n:
+        shifted = pltpu.roll(x, _c(s), 1)
+        x = jnp.maximum(x, jnp.where(col >= _c(s), shifted, _c(NEG)))
+        s <<= 1
+    return x
+
+
+def _kernel(o_del, e_del, o_ins, e_ins, zdrop, Q, T,
+            mat_ref, q_ref, qlen_ref, t_ref, tlen_ref, h0_ref, w_ref,
+            out_ref, qprof_ref, hb_ref, eb_ref, st_ref):
+    i32 = jnp.int32
+    oe_del = o_del + e_del
+    oe_ins = o_ins + e_ins
+
+    qlens = qlen_ref[:].astype(i32)        # (LT, 1)
+    tlens = tlen_ref[:].astype(i32)
+    h0s = h0_ref[:].astype(i32)
+    w = w_ref[:].astype(i32)               # per-pair clamped band width
+
+    col = jax.lax.broadcasted_iota(i32, (LT, Q), 1)
+
+    # per-base query profiles (score rows select by target char)
+    qt = q_ref[:].astype(i32)              # (LT, Q)
+    for c in range(5):
+        prof = jnp.full((LT, Q), mat_ref[0, c * 5 + 4], i32)
+        for b in range(4):
+            prof = jnp.where(qt == b, mat_ref[0, c * 5 + b], prof)
+        qprof_ref[:, c * Q:(c + 1) * Q] = prof
+
+    # first-row state (ksw.c:395-397).  All loop state lives in VMEM
+    # scratch refs; the while loop carries only the scalar row index
+    # (Mosaic cannot legalize vector-valued while carries).
+    v = h0s - _c(oe_ins) - (col - _c(1)) * _c(e_ins)
+    h = jnp.where(col == _c(0), h0s, jnp.maximum(v, _c(0)))
+    hb_ref[:] = jnp.where(col <= qlens, h, _c(0)).astype(i32)
+    eb_ref[:] = jnp.zeros((LT, Q), i32)
+    st_ref[:, 0:1] = jnp.zeros((LT, 1), i32)           # beg
+    st_ref[:, 1:2] = qlens                             # end
+    st_ref[:, 2:3] = h0s                               # best
+    st_ref[:, 3:4] = jnp.full((LT, 1), -1, i32)        # max_i
+    st_ref[:, 4:5] = jnp.full((LT, 1), -1, i32)        # max_j
+    st_ref[:, 5:6] = jnp.full((LT, 1), -1, i32)        # max_ie
+    st_ref[:, 6:7] = jnp.full((LT, 1), -1, i32)        # gscore
+    st_ref[:, 7:8] = jnp.zeros((LT, 1), i32)           # max_off
+    st_ref[:, 8:9] = jnp.zeros((LT, 1), i32)           # broken
+
+    def row_step(i):
+        h = hb_ref[:]
+        e = eb_ref[:]
+        beg = st_ref[:, 0:1]
+        end = st_ref[:, 1:2]
+        best = st_ref[:, 2:3]
+        max_i = st_ref[:, 3:4]
+        max_j = st_ref[:, 4:5]
+        max_ie = st_ref[:, 5:6]
+        gscore = st_ref[:, 6:7]
+        max_off = st_ref[:, 7:8]
+        broken = st_ref[:, 8:9]
+        active = (broken == _c(0)) & (i < tlens)
+        beg_i = jnp.maximum(beg, i - w)
+        end_i = jnp.minimum(jnp.minimum(end, i + w + _c(1)), qlens)
+        empty = end_i <= beg_i
+        h_first = jnp.where(
+            beg_i == _c(0),
+            jnp.maximum(h0s - (_c(o_del) + _c(e_del) * (i + _c(1))), _c(0)),
+            _c(0)).astype(i32)
+
+        # lane-dim dynamic slices must be 128-aligned: read the aligned
+        # 128-column block containing i and select the column
+        blk_start = pl.multiple_of((i >> 7) * _c(128), 128)
+        blk = t_ref[:, pl.ds(blk_start, 128)].astype(i32)     # (LT, 128)
+        bcol = jax.lax.broadcasted_iota(i32, (LT, 128), 1)
+        tchar = jnp.max(jnp.where(bcol == (i & _c(127)), blk, _c(-1)),
+                        axis=1, keepdims=True)                # (LT, 1)
+        score = qprof_ref[:, 4 * Q:5 * Q]
+        for c in range(4):
+            score = jnp.where(tchar == _c(c), qprof_ref[:, c * Q:(c + 1) * Q],
+                              score)
+
+        inb = (col >= beg_i) & (col < end_i)
+        M = jnp.where(h != _c(0), h + score, _c(0))
+        e_new = jnp.maximum(e - _c(e_del), jnp.maximum(M - _c(oe_del), _c(0)))
+        t_ins = jnp.maximum(M - _c(oe_ins), _c(0))
+
+        # F entering column j: prefix max over the shifted t_ins with a
+        # zero source at column beg (ksw's sequential F recurrence)
+        t_shift = _row_shift_right(jnp.where(inb, t_ins, _c(NEG)), NEG)
+        t_src = jnp.where(col == beg_i, _c(0), t_shift)
+        run = _prefix_max(t_src + col * _c(e_ins))
+        f = run - col * _c(e_ins)
+
+        h_new = jnp.maximum(jnp.maximum(M, e), f)
+
+        # row max and its LAST attaining column (ksw.c:437-438)
+        h_band = jnp.where(inb, h_new, _c(0))
+        m = jnp.max(h_band, axis=1, keepdims=True)
+        mj = jnp.max(jnp.where((h_band == m) & inb, col, _c(-1)), axis=1,
+                     keepdims=True)
+        mj = jnp.where(m == _c(0), _c(-1), mj)
+
+        # state update (width Q; entry `end` of the eh layout is virtual)
+        h_sh = _row_shift_right(h_new, 0)
+        h_out = jnp.where(col == beg_i, h_first,
+                          jnp.where((col > beg_i) & (col <= end_i), h_sh, h))
+        e_out = jnp.where(inb, e_new,
+                          jnp.where(col == end_i, _c(0), e))
+        h_out = jnp.where(active, h_out, h)
+        e_out = jnp.where(active, e_out, e)
+
+        # to-query-end score (ksw.c:450-453)
+        h1_last = jnp.where(
+            empty, h_first,
+            jnp.max(jnp.where(col == end_i - _c(1), h_new, _c(NEG)), axis=1,
+                    keepdims=True))
+        at_qend = active & (end_i == qlens)
+        upd_g = at_qend & (gscore <= h1_last)
+        max_ie = jnp.where(upd_g, i, max_ie)
+        gscore = jnp.where(at_qend, jnp.maximum(gscore, h1_last), gscore)
+
+        # break / best / z-drop (ksw.c:454-463)
+        brk0 = m == _c(0)
+        better = m > best
+        best_n = jnp.where(active & better, m, best)
+        max_i_n = jnp.where(active & better, i, max_i)
+        max_j_n = jnp.where(active & better, mj, max_j)
+        max_off_n = jnp.where(active & better,
+                              jnp.maximum(max_off, jnp.abs(mj - i)), max_off)
+        di = i - max_i
+        dj = mj - max_j
+        zd_del = best - m - (di - dj) * _c(e_del) > _c(zdrop)
+        zd_ins = best - m - (dj - di) * _c(e_ins) > _c(zdrop)
+        delish = di > dj
+        zd = (delish & zd_del) | ((~delish) & zd_ins)
+        brk = brk0 | ((~better) & (zdrop > 0) & zd)
+        broken_n = jnp.where(active & brk, _c(1), broken)
+
+        # band shrink to the non-zero span (ksw.c:465-469); the virtual
+        # entry at column end_i has h = h1_last, e = 0
+        nz = (h_out != _c(0)) | (e_out != _c(0))
+        c1 = nz & (col >= beg_i) & (col < end_i)
+        beg_new = jnp.min(jnp.where(c1, col, end_i), axis=1, keepdims=True)
+        c2 = nz & (col >= beg_new) & (col <= end_i)
+        last = jnp.max(jnp.where(c2, col, beg_new - _c(1)), axis=1,
+                       keepdims=True)
+        last = jnp.where((h1_last != _c(0)) & (end_i >= beg_new),
+                         jnp.maximum(last, end_i), last)
+        end_new = jnp.minimum(last + _c(2), qlens)
+        keep = active & ~brk
+        beg_o = jnp.where(keep, beg_new, beg)
+        end_o = jnp.where(keep, end_new, end)
+
+        hb_ref[:] = h_out
+        eb_ref[:] = e_out
+        st_ref[:, 0:1] = beg_o
+        st_ref[:, 1:2] = end_o
+        st_ref[:, 2:3] = best_n
+        st_ref[:, 3:4] = max_i_n
+        st_ref[:, 4:5] = max_j_n
+        st_ref[:, 5:6] = max_ie
+        st_ref[:, 6:7] = gscore
+        st_ref[:, 7:8] = max_off_n
+        st_ref[:, 8:9] = broken_n
+        return i + _c(1)
+
+    def cond(i):
+        # scalar-typed reduction (a 0-d bool cannot be squeezed by Mosaic)
+        live = jnp.where((st_ref[:, 8:9] == _c(0)) & (i < tlens),
+                         _c(1), _c(0))
+        return jnp.max(live) > _c(0)
+
+    jax.lax.while_loop(cond, row_step, jnp.asarray(0, i32))
+
+    out = jnp.concatenate(
+        [st_ref[:, 2:3], st_ref[:, 4:5] + _c(1), st_ref[:, 3:4] + _c(1),
+         st_ref[:, 5:6] + _c(1), st_ref[:, 6:7], st_ref[:, 7:8],
+         jnp.zeros((LT, 2), i32)], axis=1)
+    out_ref[:] = out
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("o_del", "e_del", "o_ins", "e_ins",
+                                    "zdrop", "interpret"))
+def bsw_extend_tiles(mat25: jax.Array,     # (1, 25) int32
+                     queries: jax.Array,   # (P, Q) int8
+                     qlens: jax.Array,     # (P, 1) int32
+                     targets: jax.Array,   # (P, T) int8
+                     tlens: jax.Array,     # (P, 1) int32
+                     h0s: jax.Array,       # (P, 1) int32
+                     ws: jax.Array,        # (P, 1) int32 clamped band
+                     *, o_del: int, e_del: int, o_ins: int, e_ins: int,
+                     zdrop: int, interpret: bool = False) -> jax.Array:
+    P, Q = queries.shape
+    T = targets.shape[1]
+    grid = P // LT
+    kern = functools.partial(_kernel, o_del, e_del, o_ins, e_ins, zdrop,
+                             Q, T)
+    # index maps must return int32 — with x64 on, a bare python 0 traces
+    # as int64, which Mosaic cannot legalize in the index function
+    z32 = np.int32(0)
+    lane_spec = lambda width, space: pl.BlockSpec(
+        (LT, width), lambda g: (g, z32), memory_space=space)
+    return pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, 25), lambda g: (z32, z32),
+                         memory_space=pltpu.SMEM),
+            lane_spec(Q, pltpu.VMEM),
+            lane_spec(1, pltpu.VMEM),
+            lane_spec(T, pltpu.VMEM),
+            lane_spec(1, pltpu.VMEM),
+            lane_spec(1, pltpu.VMEM),
+            lane_spec(1, pltpu.VMEM),
+        ],
+        out_specs=lane_spec(8, pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P, 8), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((LT, 5 * Q), jnp.int32),
+                        pltpu.VMEM((LT, Q), jnp.int32),
+                        pltpu.VMEM((LT, Q), jnp.int32),
+                        pltpu.VMEM((LT, 16), jnp.int32)],
+        interpret=interpret,
+    )(mat25, queries, qlens, targets, tlens, h0s, ws)
+
+
+def clamp_band(qlens: np.ndarray, w: int, max_sc: int, end_bonus: int,
+               o_del: int, e_del: int, o_ins: int, e_ins: int) -> np.ndarray:
+    """Per-pair band clamp (ksw.c:398-407; C truncates from double)."""
+    q = qlens.astype(np.float64)
+    max_ins = np.maximum(((q * max_sc + end_bonus - o_ins) / e_ins
+                          + 1.0).astype(np.int32), 1)
+    max_del = np.maximum(((q * max_sc + end_bonus - o_del) / e_del
+                          + 1.0).astype(np.int32), 1)
+    return np.minimum(np.minimum(np.int32(w), max_ins), max_del)

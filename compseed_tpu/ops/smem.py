@@ -281,6 +281,10 @@ class BatchSeeder:
         self._collect_cache = {}
         self._round3_cache = {}
         self._sa_cache = {}
+        # wall-time per phase (the reference's display_profile equivalent,
+        # main.cpp:203-214): r1 entries are (n_lanes, seconds)
+        self.prof = {"r1": [], "r2": 0.0, "r3": 0.0, "sal": 0.0,
+                     "post": 0.0}
 
     def _collect_fn(self, L: int):
         if L not in self._collect_cache:
@@ -403,6 +407,8 @@ class BatchSeeder:
                     packed[:, MMEM * 5 + 1].astype(np.int64),
                     packed[:, MMEM * 5 + 2] != 0)
 
+        import time as _time
+
         # -------- round 1: repeated collect; later iterations compact to
         # the (rapidly shrinking) set of still-active reads
         pivots = np.zeros(R, dtype=np.int32)
@@ -410,8 +416,10 @@ class BatchSeeder:
             idxs = np.nonzero(pivots < lens)[0]
             if len(idxs) == 0:
                 break
+            _t0 = _time.time()
             mems, n, ret, ovf = run_collect(
                 qarr[idxs], pivots[idxs], np.ones(len(idxs), np.int32))
+            self.prof["r1"].append((len(idxs), _time.time() - _t0))
             ovf_lanes = np.nonzero(ovf)[0]
             n = n.copy()
             for t in ovf_lanes:  # exactness fallback per overflowing read
@@ -434,6 +442,7 @@ class BatchSeeder:
         sel = ((r1[:, 5] - r1[:, 4] >= split_len) &
                (r1[:, 3] <= opt.split_width))
         if sel.any():
+            _t0 = _time.time()
             rr = r1[sel]
             rids2 = rr[:, 0].astype(np.int64)
             p2 = ((rr[:, 4] + rr[:, 5]) // 2).astype(np.int32)
@@ -448,9 +457,11 @@ class BatchSeeder:
                 add_tuples(r, ms, opt.min_seed_len)
                 n[t] = 0
             add_rows(rids2, mems, n, opt.min_seed_len)
+            self.prof["r2"] += _time.time() - _t0
 
         # -------- round 3: greedy forward seeding
         if opt.max_mem_intv > 0:
+            _t0 = _time.time()
             packed = np.asarray(self._round3_fn(L)(
                 qdev, jnp.asarray(np.ones(R, bool))))
             mems = packed[:, : MMEM3 * 5].reshape(R, MMEM3, 5)
@@ -471,7 +482,9 @@ class BatchSeeder:
                 add_tuples(int(r), ms, 0)
                 n[r] = 0
             add_rows(np.arange(R), mems, n, 0, max_end=lens)
+            self.prof["r3"] += _time.time() - _t0
 
+        _t0 = _time.time()
         allm = np.concatenate(chunks) if chunks else np.zeros((0, 6),
                                                               np.int64)
         order = np.lexsort((allm[:, 5], allm[:, 4], allm[:, 0]))
@@ -496,7 +509,10 @@ class BatchSeeder:
         soff = np.zeros(R + 1, dtype=np.int64)
         np.cumsum(np.bincount(allm[midx, 0], minlength=R), out=soff[1:])
 
+        self.prof["post"] += _time.time() - _t0
+
         # -------- merged SAL on device (comp_seed.cpp:2306-2347)
+        _t0 = _time.time()
         if total:
             uniq = np.unique(locs)
             P = 256
@@ -509,6 +525,7 @@ class BatchSeeder:
             if stats is not None:
                 stats.sal_queries += total
                 stats.sal_calls += len(uniq)
+        self.prof["sal"] += _time.time() - _t0
         mflat = allm[:, [4, 5, 3]].copy()  # (beg, end, occ)
         return mflat, moff, sflat, soff
 

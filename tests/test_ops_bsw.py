@@ -91,3 +91,47 @@ def test_pipeline_parity_device_engine(tiny_fm):
               if not l.startswith("@")]
     for i, (m, g) in enumerate(zip(mine, golden)):
         assert m == g, f"record {i}:\n{m}\n{g}"
+
+
+def test_bsw_pallas_kernel_vs_xla():
+    """The Pallas TPU kernel (interpret mode on CPU) must be bit-identical
+    to the verified XLA program across random extension workloads."""
+    import jax.numpy as jnp
+    from compseed_tpu.ops.bsw import bsw_extend
+    from compseed_tpu.ops.bsw_pallas import LT, bsw_extend_tiles, clamp_band
+
+    opt = MemOptions()
+    mat = np.array(fill_scmat(1, 4), dtype=np.int32)
+    rng = np.random.default_rng(9)
+    P, Q, T = LT, 128, 256
+    qlens = rng.integers(0, 102, P).astype(np.int32)
+    tlens = rng.integers(0, 221, P).astype(np.int32)
+    queries = np.full((P, Q), 4, np.uint8)
+    targets = np.full((P, T), 4, np.uint8)
+    for i in range(P):
+        queries[i, :qlens[i]] = rng.integers(0, 4, qlens[i])
+        tl = int(tlens[i])
+        if tl and qlens[i]:
+            src = np.resize(queries[i, :qlens[i]], tl).copy()
+            err = rng.random(tl) < 0.08
+            src[err] = rng.integers(0, 4, err.sum())
+            targets[i, :tl] = src
+    queries[rng.random((P, Q)) < 0.01] = 4
+    h0 = rng.integers(1, 102, P).astype(np.int32)
+    w = opt.w
+    ref = np.asarray(bsw_extend(
+        opt.o_del, opt.e_del, opt.o_ins, opt.e_ins, opt.zdrop,
+        opt.pen_clip5, 1, jnp.asarray(mat.reshape(5, 5)), jnp.int32(w),
+        jnp.asarray(queries), jnp.asarray(qlens),
+        jnp.asarray(targets), jnp.asarray(tlens), jnp.asarray(h0)))
+    ws = clamp_band(qlens, w, 1, opt.pen_clip5, opt.o_del, opt.e_del,
+                    opt.o_ins, opt.e_ins)
+    out = np.asarray(bsw_extend_tiles(
+        jnp.asarray(mat.reshape(1, 25)),
+        jnp.asarray(queries.astype(np.int8)), jnp.asarray(qlens[:, None]),
+        jnp.asarray(targets.astype(np.int8)), jnp.asarray(tlens[:, None]),
+        jnp.asarray(h0[:, None]), jnp.asarray(ws[:, None]),
+        o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins, e_ins=opt.e_ins,
+        zdrop=opt.zdrop, interpret=True))
+    for j in range(6):
+        assert np.array_equal(ref[j], out[:, j]), j
