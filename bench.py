@@ -25,7 +25,7 @@ import numpy as np
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cache")
 GENOME_LEN = 2_000_000
-N_READS = 4096
+N_READS = 32768
 READ_LEN = 101
 BASELINE_READS_PER_S = 61_300.0
 USE_NATIVE_TAIL = True
@@ -96,13 +96,13 @@ def main() -> None:
             for i in range(len(arr))]
 
     # warmup (compiles); same lane/DP shape buckets as the timed chunk
-    warm = mk_reads(reads_arr[:2048], 0)
+    n_timed = 16384
+    warm = mk_reads(reads_arr[:n_timed], 0)
     align_chunk(opt, fm, warm, 0, engine=engine, seeder=seeder, tail=tail)
 
-    n_timed = 2048
-    timed = mk_reads(reads_arr[2048: 2048 + n_timed], 2048)
+    timed = mk_reads(reads_arr[n_timed: 2 * n_timed], n_timed)
     t0 = time.time()
-    align_chunk(opt, fm, timed, 2048, engine=engine, seeder=seeder,
+    align_chunk(opt, fm, timed, n_timed, engine=engine, seeder=seeder,
                 tail=tail)
     dt = time.time() - t0
     assert all(r.sam for r in timed)

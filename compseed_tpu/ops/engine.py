@@ -16,6 +16,13 @@ def device_engine(opt, fm=None):
     return BswRunner(opt, np.array(opt.mat))
 
 
-def device_seeder(opt, fm):
-    from compseed_tpu.ops.smem import BatchSeeder
-    return BatchSeeder(opt, fm)
+def device_seeder(opt, fm, version: str | None = None):
+    """v2 (default): device-resident dense-worklist seeder (ops/seeder2);
+    v1: lockstep per-read seeder (ops/smem), kept as the fallback path."""
+    import os
+    version = version or os.environ.get("COMPSEED_SEEDER", "v2")
+    if version == "v1":
+        from compseed_tpu.ops.smem import BatchSeeder
+        return BatchSeeder(opt, fm)
+    from compseed_tpu.ops.seeder2 import DeviceSeeder
+    return DeviceSeeder(opt, fm)

@@ -1,0 +1,86 @@
+"""Device-resident v2 seeder vs the host seeding oracle.
+
+Same contract as test_ops_smem (matches + resolved seeds identical per
+read), exercised through the dense-worklist pipeline: forward pivot scan,
+independent backward walks with staged compaction, device reconstruction,
+rounds 2/3, sampling and merged SAL.
+"""
+
+import os
+
+import numpy as np
+
+from compseed_tpu.options import MemOptions
+from compseed_tpu.pipeline import seeding
+from compseed_tpu.pipeline.align import encode_read
+from compseed_tpu.ops.seeder2 import DeviceSeeder
+
+from tests.conftest import FIXTURES
+
+
+def _fixture_queries(n):
+    from compseed_tpu.io.fastq import read_fastq_chunks
+    reads = []
+    for chunk in read_fastq_chunks(os.path.join(FIXTURES, "reads.fq"),
+                                   10_000_000):
+        reads.extend(chunk)
+    return [encode_read(r.seq) for r in reads[:n]]
+
+
+def test_seeder2_matches_oracle(tiny_fm):
+    opt = MemOptions()
+    queries = _fixture_queries(48)
+    seeder = DeviceSeeder(opt, tiny_fm)
+    got = seeder(tiny_fm, opt, queries)
+    assert not seeder.last_overflow
+    for r, q in enumerate(queries):
+        want = seeding.collect_matches(tiny_fm, opt, q)
+        assert got[r][0] == want, f"read {r}"
+    want_seeds = [seeding.sample_seeds(opt, seeding.collect_matches(
+        tiny_fm, opt, q)) for q in queries]
+    seeding.resolve_sal(tiny_fm, want_seeds)
+    for r in range(len(queries)):
+        g = [(s.rbeg, s.qbeg, s.len) for s in got[r][1]]
+        w = [(s.rbeg, s.qbeg, s.len) for s in want_seeds[r]]
+        assert g == w, f"read {r} seeds differ"
+
+
+def test_seeder2_edge_cases(tiny_fm):
+    """Ns, all-N, short reads, N at both ends."""
+    opt = MemOptions()
+    rng = np.random.default_rng(41)
+    base_qs = _fixture_queries(6)
+    queries = []
+    for q in base_qs:
+        q = q.copy()
+        for _ in range(3):
+            q[int(rng.integers(0, len(q)))] = 4
+        queries.append(q)
+    queries.append(np.full(50, 4, dtype=np.uint8))
+    queries.append(base_qs[0][:37].copy())
+    queries.append(base_qs[1][:19].copy())
+    queries.append(base_qs[2][:5].copy())
+    qq = base_qs[3].copy()
+    qq[0] = 4
+    qq[-1] = 4
+    queries.append(qq)
+    seeder = DeviceSeeder(opt, tiny_fm)
+    got = seeder(tiny_fm, opt, queries)
+    for r, q in enumerate(queries):
+        want = seeding.collect_matches(tiny_fm, opt, q)
+        assert got[r][0] == want, f"read {r}"
+
+
+def test_seeder2_run_flat_contract(tiny_fm):
+    """run_flat output must agree with the legacy lockstep seeder."""
+    from compseed_tpu.ops.smem import BatchSeeder
+    opt = MemOptions()
+    queries = _fixture_queries(32)
+    v2 = DeviceSeeder(opt, tiny_fm)
+    v1 = BatchSeeder(opt, tiny_fm, v2.dfi)
+    m2, mo2, s2, so2 = v2.run_flat(queries)
+    m1, mo1, s1, so1 = v1.run_flat(queries)
+    assert np.array_equal(mo1, mo2)
+    assert np.array_equal(m1, m2)
+    assert np.array_equal(so1, so2)
+    assert np.array_equal(s1, s2)
