@@ -38,7 +38,9 @@ def _setup():
     from compseed_tpu.utils import NT4_TO_ASCII
 
     os.makedirs(CACHE, exist_ok=True)
-    prefix = os.path.join(CACHE, f"bench_{GENOME_LEN}")
+    # sa_intv=8: 4x denser SA sampling than the bwa default caps the
+    # inverse-Psi walk at 7 steps (TPU-first trade: HBM for walk depth)
+    prefix = os.path.join(CACHE, f"bench_{GENOME_LEN}_sa8")
     fa = prefix + ".fa"
     if not os.path.exists(prefix + ".bwt"):
         rng = np.random.default_rng(2024)
@@ -48,7 +50,7 @@ def _setup():
             s = bytes(NT4_TO_ASCII[seq]).decode()
             for i in range(0, len(s), 80):
                 f.write(s[i: i + 80] + "\n")
-        save_index(prefix, build_index(fa))
+        save_index(prefix, build_index(fa, sa_intv=8))
     fm = FMIndex.load(prefix)
 
     reads_path = os.path.join(CACHE, f"reads_{N_READS}.npy")

@@ -236,7 +236,15 @@ class BswRunner:
         if use_pallas is None:
             import jax
             use_pallas = jax.default_backend() != "cpu"
-        self.use_pallas = use_pallas
+        m = mat.reshape(5, 5).astype(np.int64)
+        a, b = int(m[0, 0]), int(m[0, 1])
+        pattern = np.full((5, 5), b, np.int64)
+        np.fill_diagonal(pattern, a)
+        pattern[4, :] = pattern[:, 4] = m[0, 4]
+        # the Pallas kernel computes scores from the bwa_fill_scmat
+        # pattern (match/mismatch/ambig); exotic matrices use XLA
+        self.mat_is_scmat = bool((m == pattern).all())
+        self.use_pallas = use_pallas and self.mat_is_scmat
 
     def run_flat(self, qbuf: np.ndarray, qoff: np.ndarray, rbuf: np.ndarray,
                  roff: np.ndarray, h0: np.ndarray, w: int, pen_clip: int):

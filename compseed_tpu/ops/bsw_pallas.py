@@ -66,7 +66,7 @@ def _prefix_max(x):
 
 def _kernel(o_del, e_del, o_ins, e_ins, zdrop, Q, T,
             mat_ref, q_ref, qlen_ref, t_ref, tlen_ref, h0_ref, w_ref,
-            out_ref, qprof_ref, hb_ref, eb_ref, st_ref):
+            out_ref, hb_ref, eb_ref, st_ref):
     i32 = jnp.int32
     oe_del = o_del + e_del
     oe_ins = o_ins + e_ins
@@ -78,13 +78,13 @@ def _kernel(o_del, e_del, o_ins, e_ins, zdrop, Q, T,
 
     col = jax.lax.broadcasted_iota(i32, (LT, Q), 1)
 
-    # per-base query profiles (score rows select by target char)
+    # scoring follows the bwa_fill_scmat pattern (match a, mismatch -b,
+    # ambiguous -1; bwa.c:135-144) — checked host-side by the runner
     qt = q_ref[:].astype(i32)              # (LT, Q)
-    for c in range(5):
-        prof = jnp.full((LT, Q), mat_ref[0, c * 5 + 4], i32)
-        for b in range(4):
-            prof = jnp.where(qt == b, mat_ref[0, c * 5 + b], prof)
-        qprof_ref[:, c * Q:(c + 1) * Q] = prof
+    q_amb = qt > _c(3)
+    sc_a = mat_ref[0, 0]
+    sc_b = mat_ref[0, 1]
+    sc_n = mat_ref[0, 4]
 
     # first-row state (ksw.c:395-397).  All loop state lives in VMEM
     # scratch refs; the while loop carries only the scalar row index
@@ -106,15 +106,16 @@ def _kernel(o_del, e_del, o_ins, e_ins, zdrop, Q, T,
     def row_step(i):
         h = hb_ref[:]
         e = eb_ref[:]
-        beg = st_ref[:, 0:1]
-        end = st_ref[:, 1:2]
-        best = st_ref[:, 2:3]
-        max_i = st_ref[:, 3:4]
-        max_j = st_ref[:, 4:5]
-        max_ie = st_ref[:, 5:6]
-        gscore = st_ref[:, 6:7]
-        max_off = st_ref[:, 7:8]
-        broken = st_ref[:, 8:9]
+        stv = st_ref[:]                    # (LT, 16), one read
+        beg = stv[:, 0:1]
+        end = stv[:, 1:2]
+        best = stv[:, 2:3]
+        max_i = stv[:, 3:4]
+        max_j = stv[:, 4:5]
+        max_ie = stv[:, 5:6]
+        gscore = stv[:, 6:7]
+        max_off = stv[:, 7:8]
+        broken = stv[:, 8:9]
         active = (broken == _c(0)) & (i < tlens)
         beg_i = jnp.maximum(beg, i - w)
         end_i = jnp.minimum(jnp.minimum(end, i + w + _c(1)), qlens)
@@ -131,10 +132,8 @@ def _kernel(o_del, e_del, o_ins, e_ins, zdrop, Q, T,
         bcol = jax.lax.broadcasted_iota(i32, (LT, 128), 1)
         tchar = jnp.max(jnp.where(bcol == (i & _c(127)), blk, _c(-1)),
                         axis=1, keepdims=True)                # (LT, 1)
-        score = qprof_ref[:, 4 * Q:5 * Q]
-        for c in range(4):
-            score = jnp.where(tchar == _c(c), qprof_ref[:, c * Q:(c + 1) * Q],
-                              score)
+        score = jnp.where(q_amb | (tchar > _c(3)), sc_n,
+                          jnp.where(qt == tchar, sc_a, sc_b))
 
         inb = (col >= beg_i) & (col < end_i)
         M = jnp.where(h != _c(0), h + score, _c(0))
@@ -210,15 +209,9 @@ def _kernel(o_del, e_del, o_ins, e_ins, zdrop, Q, T,
 
         hb_ref[:] = h_out
         eb_ref[:] = e_out
-        st_ref[:, 0:1] = beg_o
-        st_ref[:, 1:2] = end_o
-        st_ref[:, 2:3] = best_n
-        st_ref[:, 3:4] = max_i_n
-        st_ref[:, 4:5] = max_j_n
-        st_ref[:, 5:6] = max_ie
-        st_ref[:, 6:7] = gscore
-        st_ref[:, 7:8] = max_off_n
-        st_ref[:, 8:9] = broken_n
+        st_ref[:] = jnp.concatenate(
+            [beg_o, end_o, best_n, max_i_n, max_j_n, max_ie, gscore,
+             max_off_n, broken_n, jnp.zeros((LT, 7), i32)], axis=1)
         return i + _c(1)
 
     def cond(i):
@@ -273,8 +266,7 @@ def bsw_extend_tiles(mat25: jax.Array,     # (1, 25) int32
         ],
         out_specs=lane_spec(8, pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((P, 8), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((LT, 5 * Q), jnp.int32),
-                        pltpu.VMEM((LT, Q), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((LT, Q), jnp.int32),
                         pltpu.VMEM((LT, Q), jnp.int32),
                         pltpu.VMEM((LT, 16), jnp.int32)],
         interpret=interpret,

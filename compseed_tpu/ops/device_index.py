@@ -1,19 +1,28 @@
 """Device-resident FM-index.
 
 HBM layout (TPU-first redesign of the bwt_t blob, FM_index/bwt.h:48-60):
-the interleaved on-disk stream is split into two aligned arrays so a batch
-occ query is two row gathers:
+one occ query = ONE row gather.  Each 128-base block is a fused 48-byte
+row of 12 uint32 words:
 
-  * ``cp_occ``    (n_blocks+1, 4)  — checkpoint counts every 128 bases
-  * ``bwt_codes`` (n_blocks, 128)  — 2-bit codes expanded to uint8 rows
-    (one VPU-lane row per block; byte-expanded because TPU gathers +
-    vector compares on int8 lanes beat in-register 2-bit unpacking, and
-    128 bytes/block keeps HBM traffic per query at one 128B line pair)
-  * ``sa_sampled`` (n_sa,)         — sampled suffix array (intv 32)
-  * ``pac_bases`` (l_pac padded,)  — forward reference as uint8 codes for
+  words 0-3   checkpoint counts of A/C/G/T up to the block start (the
+              per-base counts of even hg19 fit uint32)
+  words 4-7   "hi" bitplane — bit b of word w is the high bit of the
+              2-bit code at block position w*32 + b
+  words 8-11  "lo" bitplane — low bits, same layout
+
+In-block ranks are masked popcounts over the planes (the 64-bit
+occ_aux4 trick of FM_index/bwt.c:98-105, widened to VPU lanes).  Random
+row gathers are the bottleneck of every FM operation on TPU, so halving
+gathers (no separate checkpoint fetch) and shrinking rows from 144 B to
+48 B beats the expanded-byte layout.
+
+  * ``occ_rows``   (n_blocks+1, 12) uint32 — fused occ/BWT rows
+  * ``sa_sampled`` (n_sa,)          — sampled suffix array
+  * ``pac_bases``  (l_pac padded,)  uint8 — forward reference for
     on-device reference-window fetches
 
-Counts/positions use int32 when they fit (seq_len + 1 < 2^31), else int64.
+Counts/positions compute in int32 when they fit (seq_len + 1 < 2^31),
+else int64 (``dtype``).
 """
 
 from __future__ import annotations
@@ -30,12 +39,11 @@ from compseed_tpu.index.fmindex import FMIndex
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["cp_occ", "bwt_codes", "sa_sampled", "L2", "pac_bases"],
+         data_fields=["occ_rows", "sa_sampled", "L2", "pac_bases"],
          meta_fields=["primary", "seq_len", "sa_intv", "l_pac", "idx_dtype"])
 @dataclass(frozen=True)
 class DeviceFMIndex:
-    cp_occ: jax.Array      # (n_blocks+1, 4) idx_dtype
-    bwt_codes: jax.Array   # (n_blocks, 128) uint8
+    occ_rows: jax.Array    # (n_blocks+1, 12) uint32
     sa_sampled: jax.Array  # (n_sa,) idx_dtype
     L2: jax.Array          # (5,) idx_dtype
     pac_bases: jax.Array   # (ceil(l_pac/128)*128,) uint8
@@ -44,6 +52,10 @@ class DeviceFMIndex:
     sa_intv: int
     l_pac: int
     idx_dtype: np.dtype
+
+    @property
+    def dtype(self):
+        return jnp.int32 if self.idx_dtype == np.int32 else jnp.int64
 
 
 def expand_bwt_codes(bwt_words: np.ndarray) -> np.ndarray:
@@ -54,16 +66,36 @@ def expand_bwt_codes(bwt_words: np.ndarray) -> np.ndarray:
     return expanded.reshape(n_blocks, 128).astype(np.uint8)
 
 
+def build_occ_rows(cp_occ: np.ndarray, bwt_words: np.ndarray) -> np.ndarray:
+    """Fuse checkpoints + BWT bitplanes into (n_blocks+1, 12) uint32."""
+    n_blocks = bwt_words.shape[0]
+    codes = expand_bwt_codes(bwt_words)              # (n_blocks, 128)
+    hi = (codes >> 1).astype(np.uint32)
+    lo = (codes & 1).astype(np.uint32)
+    bit = (np.arange(128, dtype=np.uint32) & 31)
+    hi_w = np.zeros((n_blocks, 4), np.uint32)
+    lo_w = np.zeros((n_blocks, 4), np.uint32)
+    for w in range(4):
+        cols = slice(w * 32, (w + 1) * 32)
+        hi_w[:, w] = (hi[:, cols] << bit[cols]).sum(axis=1, dtype=np.uint32)
+        lo_w[:, w] = (lo[:, cols] << bit[cols]).sum(axis=1, dtype=np.uint32)
+    rows = np.zeros((cp_occ.shape[0], 12), np.uint32)
+    rows[:, 0:4] = cp_occ.astype(np.uint32)
+    rows[:n_blocks, 4:8] = hi_w
+    rows[:n_blocks, 8:12] = lo_w
+    return rows
+
+
 def to_device(fm: FMIndex) -> DeviceFMIndex:
     idx_dtype = np.int32 if fm.seq_len + 1 < 2**31 else np.int64
-    codes = expand_bwt_codes(fm.bwt_words)
+    assert fm.cp_occ.max() < 2**32, "per-base counts exceed uint32"
+    rows = build_occ_rows(fm.cp_occ, fm.bwt_words)
     pac = unpack_pac(fm.pac, fm.l_pac)
     pad = (-len(pac)) % 128
     if pad:
         pac = np.concatenate([pac, np.zeros(pad, dtype=np.uint8)])
     return DeviceFMIndex(
-        cp_occ=jnp.asarray(fm.cp_occ.astype(idx_dtype)),
-        bwt_codes=jnp.asarray(codes),
+        occ_rows=jnp.asarray(rows),
         sa_sampled=jnp.asarray(fm.sa_sampled.astype(idx_dtype)),
         L2=jnp.asarray(fm.L2.astype(idx_dtype)),
         pac_bases=jnp.asarray(pac),

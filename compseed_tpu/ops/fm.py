@@ -5,10 +5,12 @@ Contracts (exact integer semantics, validated against cpu.fm_oracle):
   extend_batch  — bwt_extend (FM_index/bwt.c:262-275)
   sa_batch      — bwt_sa via inverse-Psi walk (FM_index/bwt.c:53-96)
 
-Design: one occ query = gather one checkpoint row (4 counts) + one
-128-byte code row, then a masked compare-reduce over the 128 lanes (VPU
-native).  All batch shapes are static; invalid lanes are masked with
-k == -1 which the reference also treats as "count zero".
+Design: one occ query gathers ONE fused 48-byte row (checkpoint counts +
+2-bit BWT bitplanes, see ops.device_index) and ranks in-block bases with
+masked popcounts — random row gathers dominate every FM operation on
+TPU, so the layout minimizes gathers per query.  All batch shapes are
+static; invalid lanes are masked with k == -1 which the reference also
+treats as "count zero".
 """
 
 from __future__ import annotations
@@ -20,26 +22,62 @@ import jax.numpy as jnp
 
 from compseed_tpu.ops.device_index import DeviceFMIndex
 
+_U1 = jnp.uint32(0xFFFFFFFF)
+
+
+def _row_fetch(fm: DeviceFMIndex, k):
+    """Gather fused rows for positions k; returns (cnt4, hi4, lo4, off).
+
+    k must already be $-adjusted and clamped valid (>= 0)."""
+    block = (k >> 7).astype(jnp.int32)
+    off = (k & 0x7F).astype(jnp.int32)
+    rows = fm.occ_rows[block]                   # (..., 12) uint32
+    return rows[..., 0:4], rows[..., 4:8], rows[..., 8:12], off
+
+
+def _rank4(cnt, hi, lo, off, dt):
+    """Counts of each base among block positions 0..off inclusive."""
+    word = jnp.arange(4, dtype=jnp.int32)
+    nbits = jnp.clip(off[..., None] - (word << 5) + 1, 0, 32)
+    full = nbits >= 32
+    mask = jnp.where(full, _U1,
+                     (jnp.uint32(1) << nbits.astype(jnp.uint32))
+                     - jnp.uint32(1))
+    hm = hi & mask
+    lm = lo & mask
+    pc = jax.lax.population_count
+    c3 = pc(hm & lm).sum(-1)
+    c2 = pc(hm & (~lm & mask)).sum(-1)
+    c1 = pc((~hm & mask) & lm).sum(-1)
+    c0 = pc((~hm & mask) & (~lm & mask)).sum(-1)
+    return cnt.astype(dt) + jnp.stack([c0, c1, c2, c3],
+                                      axis=-1).astype(dt)
+
 
 def occ4_batch(fm: DeviceFMIndex, k: jax.Array) -> jax.Array:
     """Counts of each base in BWT[0..k] inclusive. k: (...,) -> (..., 4).
 
     k == -1 lanes return zeros (bwt.c:173-175).
     """
-    dt = fm.cp_occ.dtype
+    dt = fm.dtype
     k = k.astype(dt)
     valid = k != -1
     kk = jnp.where(valid, k - (k >= fm.primary).astype(dt), 0)
-    block = kk >> 7
-    off = kk & 0x7F
-    cnt = fm.cp_occ[block]                      # (..., 4)
-    codes = fm.bwt_codes[block]                 # (..., 128)
-    lane = jnp.arange(128, dtype=jnp.int32)
-    inb = lane <= off[..., None].astype(jnp.int32)  # positions <= off
-    onehot = (codes[..., None] == jnp.arange(4, dtype=jnp.uint8)) & \
-        inb[..., None]
-    cnt = cnt + onehot.sum(axis=-2, dtype=dt)
-    return jnp.where(valid[..., None], cnt, jnp.zeros_like(cnt))
+    cnt, hi, lo, off = _row_fetch(fm, kk)
+    out = _rank4(cnt, hi, lo, off, dt)
+    return jnp.where(valid[..., None], out, jnp.zeros_like(out))
+
+
+def _occ4_pair(fm: DeviceFMIndex, ka: jax.Array, kb: jax.Array):
+    """occ4 at two positions with one fused gather batch."""
+    dt = fm.dtype
+    both = jnp.stack([ka, kb], axis=-1).astype(dt)       # (..., 2)
+    valid = both != -1
+    kk = jnp.where(valid, both - (both >= fm.primary).astype(dt), 0)
+    cnt, hi, lo, off = _row_fetch(fm, kk)                # (..., 2, 4)
+    out = _rank4(cnt, hi, lo, off, dt)
+    out = jnp.where(valid[..., None], out, jnp.zeros_like(out))
+    return out[..., 0, :], out[..., 1, :]
 
 
 def extend_batch(fm: DeviceFMIndex, ik: jax.Array, is_back: bool) -> jax.Array:
@@ -47,14 +85,13 @@ def extend_batch(fm: DeviceFMIndex, ik: jax.Array, is_back: bool) -> jax.Array:
 
     ok[..., c, :] is the child bi-interval for base c.
     """
-    dt = fm.cp_occ.dtype
+    dt = fm.dtype
     ik = ik.astype(dt)
     fwd = 1 - int(bool(is_back))  # coordinate being searched (x[!is_back])
     bwd = 1 - fwd
     x = ik[..., fwd]
     s = ik[..., 2]
-    tk = occ4_batch(fm, x - 1)                  # (..., 4)
-    tl = occ4_batch(fm, x - 1 + s)
+    tk, tl = _occ4_pair(fm, x - 1, x - 1 + s)
     sizes = tl - tk                             # (..., 4)
     coord_f = fm.L2[:4] + 1 + tk                # (..., 4)
     contains_primary = ((x <= fm.primary) &
@@ -71,21 +108,36 @@ def extend_batch(fm: DeviceFMIndex, ik: jax.Array, is_back: bool) -> jax.Array:
     return ok
 
 
-def bwt_b0_batch(fm: DeviceFMIndex, k: jax.Array) -> jax.Array:
-    """Base at BWT position k (bwt_B0, bwt.h:80)."""
-    return fm.bwt_codes[k >> 7, k & 0x7F].astype(jnp.int32)
-
-
 def inv_psi_batch(fm: DeviceFMIndex, k: jax.Array) -> jax.Array:
-    """One LF step per lane (bwt_invPsi, bwt.c:53-59)."""
-    dt = fm.cp_occ.dtype
+    """One LF step per lane (bwt_invPsi, bwt.c:53-59).
+
+    The occ row of k and the BWT base at x = k - (k > primary) come from
+    at most two gathers; the base is read from the row's bitplanes.
+    """
+    dt = fm.dtype
     k = k.astype(dt)
     x = k - (k > fm.primary).astype(dt)
-    c = bwt_b0_batch(fm, x)
-    occ = jnp.take_along_axis(occ4_batch(fm, k), c[..., None].astype(jnp.int32),
+    # base at x from its row's bitplanes
+    cnt_x, hi_x, lo_x, off_x = _row_fetch(fm, x)
+    w = (off_x >> 5).astype(jnp.int32)
+    b = (off_x & 31).astype(jnp.uint32)
+    hw = jnp.take_along_axis(hi_x, w[..., None], axis=-1)[..., 0]
+    lw = jnp.take_along_axis(lo_x, w[..., None], axis=-1)[..., 0]
+    c = (((hw >> b) & 1) << 1 | ((lw >> b) & 1)).astype(jnp.int32)
+    occ = jnp.take_along_axis(occ4_batch(fm, k), c[..., None],
                               axis=-1)[..., 0]
     res = fm.L2[c] + occ
     return jnp.where(k == fm.primary, jnp.zeros_like(res), res)
+
+
+def bwt_b0_batch(fm: DeviceFMIndex, k: jax.Array) -> jax.Array:
+    """Base at position k of the $-removed BWT (bwt_B0, bwt.h:80)."""
+    _, hi, lo, off = _row_fetch(fm, k.astype(fm.dtype))
+    w = (off >> 5).astype(jnp.int32)
+    b = (off & 31).astype(jnp.uint32)
+    hw = jnp.take_along_axis(hi, w[..., None], axis=-1)[..., 0]
+    lw = jnp.take_along_axis(lo, w[..., None], axis=-1)[..., 0]
+    return (((hw >> b) & 1) << 1 | ((lw >> b) & 1)).astype(jnp.int32)
 
 
 def sa_batch(fm: DeviceFMIndex, k: jax.Array) -> jax.Array:
@@ -93,7 +145,7 @@ def sa_batch(fm: DeviceFMIndex, k: jax.Array) -> jax.Array:
 
     The walk is at most sa_intv-1 steps; finished lanes idle under a mask.
     """
-    dt = fm.cp_occ.dtype
+    dt = fm.dtype
     k = k.astype(dt)
     mask = fm.sa_intv - 1
     steps = jnp.zeros_like(k)

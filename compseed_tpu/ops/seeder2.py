@@ -51,7 +51,7 @@ class DeviceSeeder:
     GP2_F = 16         # round-2 LEP pool
     MEM_F = 16         # merged matches
     SEED_F = 24        # sampled seeds
-    U_F = 16           # unique SAL requests
+    U_F = 8            # unique SAL requests
 
     def __init__(self, opt, fm, dfi: DeviceFMIndex | None = None):
         self.opt = opt
@@ -68,7 +68,7 @@ class DeviceSeeder:
             return self._jits[key]
         fm = self.dfi
         opt = self.opt
-        dt = fm.cp_occ.dtype
+        dt = fm.dtype
         i32 = jnp.int32
         GP = self.GP_F * R
         T2 = self.T2_F * R

@@ -47,7 +47,7 @@ CAPL2 = 32      # LEP rows per round-2 task
 
 
 def _set_intv(fm: DeviceFMIndex, c):
-    dt = fm.cp_occ.dtype
+    dt = fm.dtype
     L2 = fm.L2
     c = c.astype(jnp.int32)
     return jnp.stack([L2[c] + 1, L2[3 - c] + 1, L2[c + 1] - L2[c]]).astype(dt)
@@ -66,7 +66,7 @@ def _scan_one(fm: DeviceFMIndex, L: int, capl: int, advance: bool,
     to the next pivot after each stop (round 1); otherwise it finishes
     after the first collect (round 2 task).
     """
-    dt = fm.cp_occ.dtype
+    dt = fm.dtype
     i32 = jnp.int32
     rlen = rlen.astype(i32)
     min_hits = jnp.maximum(min_hits.astype(dt), 1)
@@ -161,7 +161,7 @@ def walk_stage(fm: DeviceFMIndex, qflat, L: int, max_steps: int, state):
       k, l, s (dt); rid, i, death (i32); mh (dt, min_hits);
       alive (bool); slot (i32, original pool index; -1 = padding)
     """
-    dt = fm.cp_occ.dtype
+    dt = fm.dtype
     i32 = jnp.int32
 
     def body(carry):
@@ -262,7 +262,7 @@ def walk_pool(fm: DeviceFMIndex, qflat, L: int, pool, stages, mh=None):
     mh: per-row min_hits (GP,) — 1 (round 1) if omitted.
     Returns (death (GP,) i32, fk, fl, fs (GP,) dt, ovf).
     """
-    dt = fm.cp_occ.dtype
+    dt = fm.dtype
     i32 = jnp.int32
     GP = pool.shape[0]
     valid = pool[:, 6] != 0

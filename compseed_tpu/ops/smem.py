@@ -42,7 +42,7 @@ MMEM3 = 32   # round-3 seeds per read
 
 
 def _set_intv(fm: DeviceFMIndex, c):
-    dt = fm.cp_occ.dtype
+    dt = fm.dtype
     L2 = fm.L2
     c = c.astype(jnp.int32)
     return jnp.stack([L2[c] + 1, L2[3 - c] + 1, L2[c + 1] - L2[c]]).astype(dt)
@@ -54,7 +54,7 @@ def _collect_one(fm: DeviceFMIndex, L: int, q, pivot, min_hits, active):
     Returns (mems (MMEM,5), n_mems, ret_pivot, overflow).
     mems rows: k, l, s, beg, end — in emission order (descending beg).
     """
-    dt = fm.cp_occ.dtype
+    dt = fm.dtype
     i32 = jnp.int32
     pivot = pivot.astype(i32)
     min_hits = jnp.maximum(min_hits.astype(dt), 1)
@@ -227,7 +227,7 @@ def _seed_strategy_one(fm: DeviceFMIndex, L: int, min_len: int,
     The reference restarts bwt_seed_strategy1 after every hit/N
     (comp_seed.cpp:2290-2298); one scan carries the restart in-lane.
     """
-    dt = fm.cp_occ.dtype
+    dt = fm.dtype
     i32 = jnp.int32
 
     init = dict(

@@ -63,7 +63,7 @@ def test_sa_batch(dev):
 
 def test_occ4_jit_int32(dev):
     seq, fm, dfi = dev
-    assert dfi.cp_occ.dtype == jnp.int32  # micro genome fits int32
+    assert dfi.dtype == jnp.int32  # micro genome fits int32
     f = jax.jit(lambda k: dfm.occ4_batch(dfi, k))
     ks = jnp.arange(0, 512, dtype=jnp.int32)
     out1 = f(ks)
