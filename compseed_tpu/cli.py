@@ -54,6 +54,7 @@ def cmd_mem(argv: list[str]) -> int:
     ap.add_argument("--help", action="help")
     ap.add_argument("index_prefix")
     ap.add_argument("reads")
+    ap.add_argument("reads2", nargs="?", default=None)
     ap.add_argument("-t", type=int, default=1, dest="n_threads")
     ap.add_argument("-k", type=int, default=None, dest="min_seed_len")
     ap.add_argument("-w", type=int, default=None, dest="band_width")
@@ -89,6 +90,10 @@ def cmd_mem(argv: list[str]) -> int:
     ap.add_argument("-j", action="store_true", dest="ignore_alt")
     ap.add_argument("-5", action="store_true", dest="primary5")
     ap.add_argument("-q", action="store_true", dest="keep_supp_mapq")
+    ap.add_argument("-p", action="store_true", dest="smart_pe")
+    ap.add_argument("-S", action="store_true", dest="skip_pairing")
+    ap.add_argument("-P", action="store_true", dest="no_rescue")
+    ap.add_argument("-I", type=str, default=None, dest="insert_spec")
     ap.add_argument("--engine", choices=["oracle", "device"],
                     default="oracle")
     ap.add_argument("--tail", choices=["python", "native"],
@@ -150,6 +155,29 @@ def cmd_mem(argv: list[str]) -> int:
         opt.flag |= opts.MEM_F_PRIMARY5 | opts.MEM_F_KEEP_SUPP_MAPQ
     if args.keep_supp_mapq:
         opt.flag |= opts.MEM_F_KEEP_SUPP_MAPQ
+    if args.smart_pe:
+        opt.flag |= opts.MEM_F_PE | opts.MEM_F_SMARTPE
+    if args.reads2:
+        opt.flag |= opts.MEM_F_PE
+    if args.skip_pairing:
+        opt.flag |= opts.MEM_F_NOPAIRING
+    if args.no_rescue:
+        opt.flag |= opts.MEM_F_NO_RESCUE
+
+    pes_override = None
+    if args.insert_spec:  # fastmap.c:300-320 -I mean[,std[,max[,min]]]
+        parts = [float(x) for x in args.insert_spec.split(",")]
+        avg = parts[0]
+        std = parts[1] if len(parts) > 1 else avg * 0.1
+        high = parts[2] if len(parts) > 2 else int(avg + 4.0 * std + 0.499)
+        low = parts[3] if len(parts) > 3 else \
+            max(int(avg - 4.0 * std + 0.499), 1)
+        pes_override = []
+        for d in range(4):
+            if d == 1:  # FR only
+                pes_override += [0.0, float(low), float(high), avg, std]
+            else:
+                pes_override += [1.0, 0.0, 0.0, 0.0, 0.0]
 
     if args.preset:
         opts.apply_preset(opt, opt0, args.preset)
@@ -191,8 +219,13 @@ def cmd_mem(argv: list[str]) -> int:
 
     chunk_bases = args.chunk_bases if args.chunk_bases and \
         args.chunk_bases > 0 else opt.chunk_size * opt.n_threads
-    reader = read_fastq_chunks if sniff_is_fastq(args.reads) \
-        else read_reordered_chunks
+    if args.reads2:
+        from compseed_tpu.io.fastq import read_fastq_pair_chunks
+        reader = lambda path, cb: read_fastq_pair_chunks(
+            path, args.reads2, cb)
+    else:
+        reader = read_fastq_chunks if sniff_is_fastq(args.reads) \
+            else read_reordered_chunks
     stats = SeedingStats()
     n_processed = 0
     t0 = time.time()
@@ -201,7 +234,8 @@ def cmd_mem(argv: list[str]) -> int:
             for r in chunk:
                 r.comment = None
         align_chunk(opt, fm, chunk, n_processed, engine=engine, stats=stats,
-                    seeder=seeder, tail=tail, rg_id=rg_id)
+                    seeder=seeder, tail=tail, rg_id=rg_id,
+                    pes_override=pes_override)
         for r in chunk:
             if r.sam:
                 out.write(r.sam)

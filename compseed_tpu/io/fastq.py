@@ -95,3 +95,26 @@ def sniff_is_fastq(path: str) -> bool:
     first = f.read(1)
     f.close()
     return first == "@"
+
+
+def read_fastq_pair_chunks(path1: str, path2: str,
+                           chunk_size: int) -> Iterator[list[Read]]:
+    """Interleave two FASTQ files pairwise (bseq_read with two kseq
+    streams, bwalib/bwa.c:90-99); chunk boundaries stay on pair edges."""
+    g1 = read_fastq_chunks(path1, 1)   # chunk of one pair at a time
+    g2 = read_fastq_chunks(path2, 1)
+    batch: list[Read] = []
+    size = 0
+    while True:
+        r1 = next(g1, None)
+        r2 = next(g2, None)
+        if r1 is None or r2 is None:
+            break
+        for a, b in zip(r1, r2):
+            batch.extend((a, b))
+            size += len(a.seq) + len(b.seq)
+        if size >= chunk_size:
+            yield batch
+            batch, size = [], 0
+    if batch:
+        yield batch

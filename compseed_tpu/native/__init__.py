@@ -102,6 +102,11 @@ def _load():
     lib.cs_finalize.argtypes = [ct.c_void_p, ct.c_int64, ct.c_char_p, i64p,
                                 ct.c_char_p, i64p, ct.c_char_p, i64p,
                                 ct.c_char_p]
+    lib.cs_finalize_pe.restype = None
+    lib.cs_finalize_pe.argtypes = [ct.c_void_p, ct.c_int64, ct.c_char_p,
+                                   i64p, ct.c_char_p, i64p, ct.c_char_p,
+                                   i64p, ct.c_char_p,
+                                   ct.POINTER(ct.c_double)]
     lib.cs_sam_len.restype = ct.c_int64
     lib.cs_sam_len.argtypes = [ct.c_void_p, ct.c_int32]
     lib.cs_sam_copy.restype = None
@@ -138,7 +143,7 @@ class NativeTail:
 
     def run_batch(self, queries, matches_per_read, seeds_per_read, engine,
                   n_processed: int, names, quals, comments,
-                  rg_id: str = "") -> list[str]:
+                  rg_id: str = "", paired: bool = False) -> list[str]:
         R = len(queries)
         m_counts = [len(m) for m in matches_per_read]
         moff = np.zeros(R + 1, dtype=np.int64)
@@ -160,11 +165,12 @@ class NativeTail:
                 i += 1
         return self.run_batch_flat(queries, mflat, moff, sflat, soff,
                                    engine, n_processed, names, quals,
-                                   comments, rg_id)
+                                   comments, rg_id, paired=paired)
 
     def run_batch_flat(self, queries, mflat, moff, sflat, soff, engine,
                        n_processed: int, names, quals, comments,
-                       rg_id: str = "") -> list[str]:
+                       rg_id: str = "", paired: bool = False,
+                       pes_override=None) -> list[str]:
         lib = self.lib
         R = len(queries)
         qbuf = np.concatenate(queries) if R else np.zeros(0, np.uint8)
@@ -230,10 +236,22 @@ class NativeTail:
             else:
                 com_buf = b""
                 coff_p = None
-            lib.cs_finalize(h, n_processed, name_buf,
-                            _ptr(name_off, ct.c_int64), qual_buf, qoff_p,
-                            com_buf, coff_p,
-                            rg_id.encode() if rg_id else None)
+            if paired:
+                pes_p = None
+                if pes_override is not None:
+                    pes_arr = np.ascontiguousarray(pes_override,
+                                                   dtype=np.float64)
+                    pes_p = pes_arr.ctypes.data_as(ct.POINTER(ct.c_double))
+                lib.cs_finalize_pe(h, n_processed, name_buf,
+                                   _ptr(name_off, ct.c_int64), qual_buf,
+                                   qoff_p, com_buf, coff_p,
+                                   rg_id.encode() if rg_id else None,
+                                   pes_p)
+            else:
+                lib.cs_finalize(h, n_processed, name_buf,
+                                _ptr(name_off, ct.c_int64), qual_buf, qoff_p,
+                                com_buf, coff_p,
+                                rg_id.encode() if rg_id else None)
             out = []
             for r in range(R):
                 ln = lib.cs_sam_len(h, r)

@@ -30,7 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -(1 << 29)
-LT = 256  # pairs per grid step
+LT = 512  # pairs per grid step
 
 
 # NB: all scalar constants inside the kernel must be explicit int32 —

@@ -29,12 +29,14 @@ def encode_read(seq: str) -> np.ndarray:
 def align_batch(opt: MemOptions, fm: FMIndex, reads: list[Read],
                 n_processed: int, engine=None,
                 stats: seeding.SeedingStats | None = None,
-                seeder=None, tail=None, rg_id: str = "") -> None:
+                seeder=None, tail=None, rg_id: str = "",
+                pes_override=None) -> None:
     """Align reads[start:end] in place (fills .sam). ``n_processed`` is the
     global index of reads[0] (hash tie-breaking depends on it)."""
     if engine is None:
         engine = extension.oracle_engine(opt)
     queries = [encode_read(r.seq) for r in reads]
+    paired = bool(opt.flag & 0x2)  # MEM_F_PE
 
     # fast path: flat seeder output straight into the native tail
     if seeder is not None and tail is not None and \
@@ -43,7 +45,8 @@ def align_batch(opt: MemOptions, fm: FMIndex, reads: list[Read],
         sams = tail.run_batch_flat(
             queries, mflat, moff, sflat, soff, engine, n_processed,
             [r.name for r in reads], [r.qual for r in reads],
-            [r.comment for r in reads], rg_id)
+            [r.comment for r in reads], rg_id, paired=paired,
+            pes_override=pes_override)
         for r, sam in zip(reads, sams):
             r.sam = sam
         return
@@ -64,7 +67,7 @@ def align_batch(opt: MemOptions, fm: FMIndex, reads: list[Read],
         sams = tail.run_batch(
             queries, matches_per_read, seeds_per_read, engine, n_processed,
             [r.name for r in reads], [r.qual for r in reads],
-            [r.comment for r in reads], rg_id)
+            [r.comment for r in reads], rg_id, paired=paired)
         for r, sam in zip(reads, sams):
             r.sam = sam
         return
@@ -98,7 +101,8 @@ def align_batch(opt: MemOptions, fm: FMIndex, reads: list[Read],
 def align_chunk(opt: MemOptions, fm: FMIndex, reads: list[Read],
                 n_processed: int, engine=None,
                 stats: seeding.SeedingStats | None = None,
-                seeder=None, tail=None, rg_id: str = "") -> None:
+                seeder=None, tail=None, rg_id: str = "",
+                pes_override=None) -> None:
     """Process one -K chunk.
 
     With the device seeder and native tail, the whole chunk runs as one
@@ -106,9 +110,11 @@ def align_chunk(opt: MemOptions, fm: FMIndex, reads: list[Read],
     cross-read state, so the reference's 512-read grouping is purely a
     locality knob).  Otherwise fall back to per-BATCH_SIZE groups.
     """
-    if seeder is not None and tail is not None:
+    if tail is not None:
+        # one batch per chunk: PE insert-size inference (mem_pestat) runs
+        # over the whole chunk exactly like mem_process_seqs
         align_batch(opt, fm, reads, n_processed, engine, stats, seeder,
-                    tail, rg_id)
+                    tail, rg_id, pes_override=pes_override)
         return
     bs = opt.batch_size
     for start in range(0, len(reads), bs):

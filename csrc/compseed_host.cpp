@@ -55,8 +55,11 @@ struct CsOpt {
     int8_t mat[25];
 };
 
+constexpr i32 FLAG_PE = 0x2;
+constexpr i32 FLAG_NOPAIRING = 0x4;
 constexpr i32 FLAG_ALL = 0x8;
 constexpr i32 FLAG_NO_MULTI = 0x10;
+constexpr i32 FLAG_NO_RESCUE = 0x20;
 constexpr i32 FLAG_REF_HDR = 0x100;
 constexpr i32 FLAG_SOFTCLIP = 0x200;
 constexpr i32 FLAG_PRIMARY5 = 0x800;
@@ -946,7 +949,8 @@ static bool patch_reg(Batch* B, const u8* query, const RegC& a,
     return true;
 }
 
-static void sort_dedup_patch(Batch* B, ReadState* rs) {
+static void sort_dedup_patch(Batch* B, ReadState* rs,
+                             bool patch = true) {
     const CsOpt& o = B->opt;
     auto& a = rs->regs;
     // drop purged / empty
@@ -982,7 +986,8 @@ static void sort_dedup_patch(Batch* B, ReadState* rs) {
                 q->qe = q->qb;
             } else if (q->rb < p->rb) {
                 i32 score, w;
-                if (patch_reg(B, rs->query.data(), *q, *p, &score, &w)) {
+                if (patch &&
+                    patch_reg(B, rs->query.data(), *q, *p, &score, &w)) {
                     p->n_comp += q->n_comp + 1;
                     p->seedcov = std::max(p->seedcov, q->seedcov);
                     p->sub = std::max(p->sub, q->sub);
@@ -1209,15 +1214,41 @@ static void append_cigar(const CsOpt& o, const AlnOut& p, int which,
     }
 }
 
+static i64 get_rlen(const vector<u64>& cigar) {  // bwa.c get_rlen
+    i64 l = 0;
+    for (u64 cv : cigar)
+        if ((cv & 0xf) == 0 || (cv & 0xf) == 2) l += (i64)(cv >> 4);
+    return l;
+}
+
 static void aln2sam(Batch* B, ReadState* rs, const char* name,
                     const char* qual, i64 qual_len, const char* comment,
                     const char* rg_id, int n, const vector<AlnOut>& list,
-                    int which, string* str) {  // :904
+                    int which, string* str, const AlnOut* m_ = nullptr) {
+    // mem_aln2sam (comp_seed.cpp:904-1024) incl. the PE mate fields
     const CsOpt& o = B->opt;
-    const AlnOut& p = list[which];
+    AlnOut p = list[which];  // mutable copies: unmapped ends copy coords
+    AlnOut m;
+    bool has_m = m_ != nullptr;
+    if (has_m) m = *m_;
     i32 flag = p.flag;
+    flag |= has_m ? 0x1 : 0;
     flag |= p.rid < 0 ? 0x4 : 0;
+    flag |= (has_m && m.rid < 0) ? 0x8 : 0;
+    if (p.rid < 0 && has_m && m.rid >= 0) {
+        p.rid = m.rid;
+        p.pos = m.pos;
+        p.is_rev = m.is_rev;
+        p.cigar.clear();
+    }
+    if (has_m && m.rid < 0 && p.rid >= 0) {
+        m.rid = p.rid;
+        m.pos = p.pos;
+        m.is_rev = p.is_rev;
+        m.cigar.clear();
+    }
     flag |= p.is_rev ? 0x10 : 0;
+    flag |= (has_m && m.is_rev) ? 0x20 : 0;
     *str += name;
     *str += '\t';
     append_int(str, (flag & 0xffff) | ((flag & 0x10000) ? 0x100 : 0));
@@ -1233,7 +1264,30 @@ static void aln2sam(Batch* B, ReadState* rs, const char* name,
     } else {
         *str += "\t*\t0\t0\t*";
     }
-    *str += "\t*\t0\t0\t";  // SE: no mate
+    *str += '\t';
+    if (has_m && m.rid >= 0) {
+        if (p.rid == m.rid)
+            *str += '=';
+        else
+            *str += B->ref.names[m.rid];
+        *str += '\t';
+        append_int(str, m.pos + 1);
+        *str += '\t';
+        if (p.rid == m.rid) {
+            i64 p0 = p.pos + (p.is_rev ? get_rlen(p.cigar) - 1 : 0);
+            i64 p1 = m.pos + (m.is_rev ? get_rlen(m.cigar) - 1 : 0);
+            if (m.cigar.empty() || p.cigar.empty())
+                *str += '0';
+            else
+                append_int(str,
+                           -(p0 - p1 + (p0 > p1 ? 1 : p0 < p1 ? -1 : 0)));
+        } else {
+            *str += '0';
+        }
+    } else {
+        *str += "*\t0\t0";
+    }
+    *str += '\t';
     int l_seq = (int)rs->query.size();
     if (flag & 0x100) {
         *str += "*\t*";
@@ -1272,6 +1326,10 @@ static void aln2sam(Batch* B, ReadState* rs, const char* name,
         append_int(str, p.NM);
         *str += "\tMD:Z:";
         *str += p.MD;
+    }
+    if (has_m && !m.cigar.empty()) {
+        *str += "\tMC:Z:";
+        append_cigar(o, m, which, str);
     }
     if (p.score >= 0) {
         *str += "\tAS:i:";
@@ -1378,7 +1436,8 @@ static void gen_alt(Batch* B, ReadState* rs, vector<string>* XA) {  // :1034
 
 static void reg2sam(Batch* B, ReadState* rs, const char* name,
                     const char* qual, i64 qual_len, const char* comment,
-                    const char* rg_id) {  // :1079
+                    const char* rg_id, i32 extra_flag = 0,
+                    const AlnOut* m = nullptr) {  // :1079
     const CsOpt& o = B->opt;
     vector<string> XA;
     bool want_xa = !(o.flag & FLAG_ALL);
@@ -1395,6 +1454,7 @@ static void reg2sam(Batch* B, ReadState* rs, const char* name,
             continue;
         AlnOut q = reg2aln(B, rs, p);
         if (want_xa && !XA[k].empty()) q.XA = XA[k];
+        q.flag |= extra_flag;
         if (p->secondary >= 0) q.sub = -1;
         if (!aa.empty() && p->secondary < 0)
             q.flag |= (o.flag & FLAG_NO_MULTI) ? 0x10000 : 0x800;
@@ -1406,15 +1466,511 @@ static void reg2sam(Batch* B, ReadState* rs, const char* name,
     rs->sam.clear();
     if (aa.empty()) {
         AlnOut t = reg2aln(B, rs, nullptr);
+        t.flag |= extra_flag;
         vector<AlnOut> one;
         one.push_back(std::move(t));
         aln2sam(B, rs, name, qual, qual_len, comment, rg_id, 1, one, 0,
-                &rs->sam);
+                &rs->sam, m);
     } else {
         for (int k = 0; k < (int)aa.size(); ++k)
             aln2sam(B, rs, name, qual, qual_len, comment, rg_id,
-                    (int)aa.size(), aa, k, &rs->sam);
+                    (int)aa.size(), aa, k, &rs->sam, m);
     }
+}
+
+// =======================================================================
+// Paired-end pipeline (mapping/bwamem_pair.c)
+// =======================================================================
+
+constexpr double PE_MIN_RATIO = 0.8;
+constexpr int PE_MIN_DIR_CNT = 10;
+constexpr double PE_MIN_DIR_RATIO = 0.05;
+constexpr double PE_OUTLIER_BOUND = 2.0;
+constexpr double PE_MAPPING_BOUND = 3.0;
+constexpr double PE_MAX_STDDEV = 4.0;
+
+struct PeStat {  // mem_pestat_t
+    int low = 0, high = 0;
+    double avg = 0, std = 0;
+    int failed = 0;
+};
+
+// orientation of a pair of hit coordinates (mem_infer_dir, bwamem_pair.c:23)
+static inline int infer_dir(i64 l_pac, i64 b1, i64 b2, i64* dist) {
+    int r1 = b1 >= l_pac, r2 = b2 >= l_pac;
+    i64 p2 = r1 == r2 ? b2 : (l_pac << 1) - 1 - b2;
+    *dist = p2 > b1 ? p2 - b1 : b1 - p2;
+    return (r1 == r2 ? 0 : 1) ^ (p2 > b1 ? 0 : 3);
+}
+
+// second-best score among alignments overlapping the best (cal_sub, :32)
+static int cal_sub(const CsOpt& o, const vector<RegC>& r) {
+    size_t j;
+    for (j = 1; j < r.size(); ++j) {
+        i32 b_max = std::max(r[j].qb, r[0].qb);
+        i32 e_min = std::min(r[j].qe, r[0].qe);
+        if (e_min > b_max) {
+            i32 min_l = std::min(r[j].qe - r[j].qb, r[0].qe - r[0].qb);
+            if (e_min - b_max >= min_l * o.mask_level) break;
+        }
+    }
+    return j < r.size() ? r[j].score : o.min_seed_len * o.a;
+}
+
+// insert-size inference over the batch (mem_pestat, bwamem_pair.c:46-109)
+static void pestat(Batch* B, PeStat pes[4]) {
+    const CsOpt& o = B->opt;
+    i64 l_pac = B->ref.l_pac;
+    vector<u64> isize[4];
+    for (size_t i = 0; i + 1 < B->reads.size(); i += 2) {
+        auto& r0 = B->reads[i].regs;
+        auto& r1 = B->reads[i + 1].regs;
+        if (r0.empty() || r1.empty()) continue;
+        if (cal_sub(o, r0) > PE_MIN_RATIO * r0[0].score) continue;
+        if (cal_sub(o, r1) > PE_MIN_RATIO * r1[0].score) continue;
+        if (r0[0].rid != r1[0].rid) continue;
+        i64 is;
+        int dir = infer_dir(l_pac, r0[0].rb, r1[0].rb, &is);
+        if (is && is <= o.max_ins) isize[dir].push_back((u64)is);
+    }
+    fprintf(stderr,
+            "[M::mem_pestat] # candidate unique pairs for (FF, FR, RF, RR):"
+            " (%ld, %ld, %ld, %ld)\n", (long)isize[0].size(),
+            (long)isize[1].size(), (long)isize[2].size(),
+            (long)isize[3].size());
+    for (int d = 0; d < 4; ++d) {
+        PeStat* r = &pes[d];
+        auto& q = isize[d];
+        if ((int)q.size() < PE_MIN_DIR_CNT) {
+            fprintf(stderr, "[M::mem_pestat] skip orientation %c%c as there"
+                    " are not enough pairs\n", "FR"[d >> 1 & 1], "FR"[d & 1]);
+            r->failed = 1;
+            continue;
+        }
+        fprintf(stderr, "[M::mem_pestat] analyzing insert size distribution"
+                " for orientation %c%c...\n", "FR"[d >> 1 & 1], "FR"[d & 1]);
+        intro_sort((int)q.size(), q.data(),
+                   [](u64 a, u64 b) { return a < b; });
+        int p25 = (int)q[(size_t)(.25 * q.size() + .499)];
+        int p50 = (int)q[(size_t)(.50 * q.size() + .499)];
+        int p75 = (int)q[(size_t)(.75 * q.size() + .499)];
+        r->low = (int)(p25 - PE_OUTLIER_BOUND * (p75 - p25) + .499);
+        if (r->low < 1) r->low = 1;
+        r->high = (int)(p75 + PE_OUTLIER_BOUND * (p75 - p25) + .499);
+        fprintf(stderr, "[M::mem_pestat] (25, 50, 75) percentile: (%d, %d,"
+                " %d)\n", p25, p50, p75);
+        (void)p50;
+        int x = 0;
+        r->avg = 0;
+        for (u64 v : q)
+            if ((int)v >= r->low && (int)v <= r->high) r->avg += v, ++x;
+        r->avg /= x;
+        r->std = 0;
+        for (u64 v : q)
+            if ((int)v >= r->low && (int)v <= r->high)
+                r->std += ((double)v - r->avg) * ((double)v - r->avg);
+        r->std = sqrt(r->std / x);
+        fprintf(stderr, "[M::mem_pestat] mean and std.dev: (%.2f, %.2f)\n",
+                r->avg, r->std);
+        r->low = (int)(p25 - PE_MAPPING_BOUND * (p75 - p25) + .499);
+        r->high = (int)(p75 + PE_MAPPING_BOUND * (p75 - p25) + .499);
+        if (r->low > r->avg - PE_MAX_STDDEV * r->std)
+            r->low = (int)(r->avg - PE_MAX_STDDEV * r->std + .499);
+        if (r->high < r->avg + PE_MAX_STDDEV * r->std)
+            r->high = (int)(r->avg + PE_MAX_STDDEV * r->std + .499);
+        if (r->low < 1) r->low = 1;
+    }
+    size_t mx = 0;
+    for (int d = 0; d < 4; ++d) mx = std::max(mx, isize[d].size());
+    for (int d = 0; d < 4; ++d)
+        if (!pes[d].failed && isize[d].size() < mx * PE_MIN_DIR_RATIO)
+            pes[d].failed = 1;
+}
+
+// ---- local SW with the exact ksw_u8/i16 result contract (ksw.c:111-334):
+// score/te/qe plus the second-best row max outside the best-score window.
+struct KswR {
+    int score = 0, te = -1, qe = -1, score2 = -1, te2 = -1, tb = -1, qb = -1;
+};
+
+static KswR ksw_core(int qlen, const u8* query, int tlen, const u8* target,
+                     const CsOpt& o, int minsc, int endsc) {
+    KswR r;
+    if (qlen <= 0 || tlen <= 0) return r;
+    vector<i32> H(qlen, 0), E(qlen, 0), Hmax(qlen, 0);
+    vector<u64> b;
+    int gmax = 0, te = -1;
+    i32 oe_del = o.o_del + o.e_del, oe_ins = o.o_ins + o.e_ins;
+    for (int i = 0; i < tlen; ++i) {
+        const auto* ma = &o.mat[5 * target[i]];
+        i32 f = 0, h_diag = 0, imax = 0;
+        for (int j = 0; j < qlen; ++j) {
+            i32 hm = h_diag + ma[query[j]];
+            h_diag = H[j];
+            i32 h = std::max(std::max(hm, E[j]), std::max(f, 0));
+            imax = std::max(imax, h);
+            E[j] = std::max(std::max(E[j] - o.e_del, h - oe_del), 0);
+            f = std::max(std::max(f - o.e_ins, h - oe_ins), 0);
+            H[j] = h;
+        }
+        if (imax >= minsc) {  // row-max runs for the 2nd-best score
+            if (b.empty() || (i32)b.back() + 1 != i)
+                b.push_back((u64)imax << 32 | (u32)i);
+            else if ((int)(b.back() >> 32) < imax)
+                b.back() = (u64)imax << 32 | (u32)i;
+        }
+        if (imax > gmax) {
+            gmax = imax;
+            te = i;
+            Hmax = H;
+            if (gmax >= endsc) break;
+        }
+    }
+    r.score = gmax;
+    r.te = te;
+    int mx = -1;
+    for (int j = 0; j < qlen; ++j)
+        if (Hmax[j] > mx) mx = Hmax[j], r.qe = j;
+    if (!b.empty()) {
+        int max_mat = 0;
+        for (int i = 0; i < 25; ++i) max_mat = std::max(max_mat,
+                                                        (int)o.mat[i]);
+        int i0 = (r.score + max_mat - 1) / max_mat;
+        int low = te - i0, high = te + i0;
+        for (u64 v : b) {
+            int e = (i32)(u32)v;
+            if ((e < low || e > high) && (int)(v >> 32) > r.score2)
+                r.score2 = (int)(v >> 32), r.te2 = e;
+        }
+    }
+    return r;
+}
+
+constexpr int KSW_XSTOP = 0x20000;
+constexpr int KSW_XSUBO = 0x40000;
+constexpr int KSW_XSTART = 0x80000;
+
+static KswR ksw_align2_eq(int qlen, const u8* query, int tlen,
+                          const u8* target, const CsOpt& o, int xtra) {
+    // ksw_align2 (ksw.c:343-365): forward pass, then a reverse pass over
+    // the prefixes ending at (qe, te) to recover the start coordinates
+    int minsc = (xtra & KSW_XSUBO) ? (xtra & 0xffff) : 0x10000;
+    int endsc = (xtra & KSW_XSTOP) ? (xtra & 0xffff) : 0x10000;
+    KswR r = ksw_core(qlen, query, tlen, target, o, minsc, endsc);
+    if (!(xtra & KSW_XSTART) ||
+        ((xtra & KSW_XSUBO) && r.score < (xtra & 0xffff)))
+        return r;
+    vector<u8> qr(query, query + qlen), tr(target, target + tlen);
+    std::reverse(qr.begin(), qr.begin() + r.qe + 1);
+    std::reverse(tr.begin(), tr.begin() + r.te + 1);
+    KswR rr = ksw_core(r.qe + 1, qr.data(), tlen, tr.data(), o,
+                       0x10000, r.score);
+    if (r.score == rr.score) {
+        r.tb = r.te - rr.te;
+        r.qb = r.qe - rr.qe;
+    }
+    return r;
+}
+
+// mate rescue (mem_matesw, bwamem_pair.c:111-180)
+static int matesw(Batch* B, const PeStat pes[4], const RegC* a,
+                  ReadState* mate) {
+    const CsOpt& o = B->opt;
+    i64 l_pac = B->ref.l_pac;
+    int l_ms = (int)mate->query.size();
+    const u8* ms = mate->query.data();
+    int skip[4], n = 0;
+    for (int r = 0; r < 4; ++r) skip[r] = pes[r].failed ? 1 : 0;
+    for (auto& m : mate->regs) {
+        i64 dist;
+        int r = infer_dir(l_pac, a->rb, m.rb, &dist);
+        if (dist >= pes[r].low && dist <= pes[r].high) skip[r] = 1;
+    }
+    if (skip[0] + skip[1] + skip[2] + skip[3] == 4) return 0;
+    for (int r = 0; r < 4; ++r) {
+        if (skip[r]) continue;
+        int is_rev = (r >> 1) != (r & 1);
+        int is_larger = !(r >> 1);
+        vector<u8> rev;
+        const u8* seq = ms;
+        if (is_rev) {
+            rev.resize(l_ms);
+            for (int i = 0; i < l_ms; ++i)
+                rev[l_ms - 1 - i] = ms[i] < 4 ? 3 - ms[i] : 4;
+            seq = rev.data();
+        }
+        i64 rb, re;
+        if (!is_rev) {
+            rb = is_larger ? a->rb + pes[r].low : a->rb - pes[r].high;
+            re = (is_larger ? a->rb + pes[r].high : a->rb - pes[r].low) +
+                 l_ms;
+        } else {
+            rb = (is_larger ? a->rb + pes[r].low : a->rb - pes[r].high) -
+                 l_ms;
+            re = is_larger ? a->rb + pes[r].high : a->rb - pes[r].low;
+        }
+        if (rb < 0) rb = 0;
+        if (re > l_pac << 1) re = l_pac << 1;
+        int rid = -1;
+        vector<u8> ref;
+        if (rb < re) B->ref.fetch_seq(&rb, (rb + re) >> 1, &re, &rid, &ref);
+        if (a->rid == rid && re - rb >= o.min_seed_len) {
+            int xtra = KSW_XSUBO | KSW_XSTART |
+                       (o.min_seed_len * o.a);
+            KswR aln = ksw_align2_eq(l_ms, seq, (int)(re - rb), ref.data(),
+                                     o, xtra);
+            if (aln.score >= o.min_seed_len && aln.qb >= 0) {
+                RegC b{};
+                b.rid = a->rid;
+                b.is_alt = a->is_alt;
+                b.qb = is_rev ? l_ms - (aln.qe + 1) : aln.qb;
+                b.qe = is_rev ? l_ms - aln.qb : aln.qe + 1;
+                b.rb = is_rev ? (l_pac << 1) - (rb + aln.te + 1)
+                              : rb + aln.tb;
+                b.re = is_rev ? (l_pac << 1) - (rb + aln.tb)
+                              : rb + aln.te + 1;
+                // remaining fields stay zero, matching the reference's
+                // zero-initialized mem_alnreg_t (bwamem_pair.c:153)
+                b.score = aln.score;
+                b.csub = aln.score2;
+                b.secondary = -1;
+                b.chain_idx = -1;
+                b.seedcov = (i32)(std::min<i64>(b.re - b.rb,
+                                                b.qe - b.qb) >> 1);
+                // sorted insert by score (bwamem_pair.c:166-173)
+                size_t ins = 0;
+                while (ins < mate->regs.size() &&
+                       mate->regs[ins].score >= b.score)
+                    ++ins;
+                mate->regs.insert(mate->regs.begin() + ins, b);
+            }
+            ++n;
+        }
+        if (n) sort_dedup_patch(B, mate, /*patch=*/false);
+    }
+    return n;
+}
+
+// pair scoring (mem_pair, bwamem_pair.c:183-243)
+static int mem_pair_eq(Batch* B, const PeStat pes[4], ReadState* rs0,
+                       ReadState* rs1, i64 id, int* sub, int* n_sub,
+                       int z[2], const int n_pri[2]) {
+    const CsOpt& o = B->opt;
+    i64 l_pac = B->ref.l_pac;
+    struct P64 { u64 x, y; };
+    vector<P64> v, u;
+    ReadState* rr[2] = {rs0, rs1};
+    for (int r = 0; r < 2; ++r)
+        for (int i = 0; i < n_pri[r]; ++i) {
+            const RegC& e = rr[r]->regs[i];
+            u64 x = e.rb < l_pac ? (u64)e.rb
+                                 : (u64)((l_pac << 1) - 1 - e.rb);
+            x = (u64)e.rid << 32 | (x - (u64)B->ref.ann_off[e.rid]);
+            u64 y = (u64)(u32)e.score << 32 | (u64)i << 2 |
+                    (u64)(e.rb >= l_pac) << 1 | (u64)r;
+            v.push_back({x, y});
+        }
+    intro_sort((int)v.size(), v.data(), [](const P64& a, const P64& b) {
+        return a.x < b.x || (a.x == b.x && a.y < b.y);
+    });
+    int y[4] = {-1, -1, -1, -1};
+    for (size_t i = 0; i < v.size(); ++i) {
+        for (int r = 0; r < 2; ++r) {
+            int dir = r << 1 | (int)(v[i].y >> 1 & 1);
+            if (pes[dir].failed) continue;
+            int which = r << 1 | ((int)(v[i].y & 1) ^ 1);
+            if (y[which] < 0) continue;
+            for (int k = y[which]; k >= 0; --k) {
+                if ((int)(v[k].y & 3) != which) continue;
+                i64 dist = (i64)v[i].x - (i64)v[k].x;
+                if (dist > pes[dir].high) break;
+                if (dist < pes[dir].low) continue;
+                double ns = (dist - pes[dir].avg) / pes[dir].std;
+                int q = (int)((v[i].y >> 32) + (v[k].y >> 32) +
+                              .721 * log(2. * erfc(fabs(ns) * M_SQRT1_2)) *
+                                  o.a + .499);
+                if (q < 0) q = 0;
+                u64 py = (u64)k << 32 | (u32)i;
+                u64 px = (u64)(u32)q << 32 |
+                         (wang_hash64(py ^ (u64)id << 8) & 0xffffffffULL);
+                u.push_back({px, py});
+            }
+        }
+        y[v[i].y & 3] = (int)i;
+    }
+    int ret = 0;
+    *sub = 0;
+    *n_sub = 0;
+    if (!u.empty()) {
+        int tmp = std::max(o.a + o.b,
+                           std::max(o.o_del + o.e_del, o.o_ins + o.e_ins));
+        intro_sort((int)u.size(), u.data(), [](const P64& a, const P64& b) {
+            return a.x < b.x || (a.x == b.x && a.y < b.y);
+        });
+        size_t i = u.back().y >> 32, k = u.back().y & 0xffffffffULL;
+        z[v[i].y & 1] = (int)((v[i].y << 32) >> 34);
+        z[v[k].y & 1] = (int)((v[k].y << 32) >> 34);
+        ret = (int)(u.back().x >> 32);
+        *sub = u.size() > 1 ? (int)(u[u.size() - 2].x >> 32) : 0;
+        for (int j = (int)u.size() - 2; j >= 0; --j)
+            if (*sub - (int)(u[j].x >> 32) <= tmp) ++*n_sub;
+    }
+    return ret;
+}
+
+static inline int raw_mapq(int diff, int a) {
+    return (int)(6.02 * diff / a + .499);
+}
+
+// full PE output for one pair (mem_sam_pe, bwamem_pair.c:250-393)
+static int sam_pe(Batch* B, const PeStat pes[4], i64 id, ReadState* rs0,
+                  ReadState* rs1, const char* names[2],
+                  const char* quals[2], const i64 qual_lens[2],
+                  const char* comments[2], const char* rg_id) {
+    const CsOpt& o = B->opt;
+    ReadState* rr[2] = {rs0, rs1};
+    int n = 0, z[2] = {0, 0}, n_pri[2];
+    i32 extra_flag = 1;
+    AlnOut h[2];
+    if (!(o.flag & FLAG_NO_RESCUE)) {
+        // snapshot both candidate lists BEFORE any rescue mutates regs
+        vector<RegC> b[2];
+        for (int i = 0; i < 2; ++i)
+            for (auto& reg : rr[i]->regs)
+                if (reg.score >= rr[i]->regs[0].score - o.pen_unpaired)
+                    b[i].push_back(reg);
+        for (int i = 0; i < 2; ++i)
+            for (int j = 0; j < (int)b[i].size() && j < o.max_matesw; ++j)
+                n += matesw(B, pes, &b[i][j], rr[!i]);
+    }
+    n_pri[0] = mark_primary(o, &rs0->regs, id << 1 | 0);
+    n_pri[1] = mark_primary(o, &rs1->regs, id << 1 | 1);
+    if (o.flag & FLAG_PRIMARY5) {
+        reorder_primary5(o.T, &rs0->regs);
+        reorder_primary5(o.T, &rs1->regs);
+    }
+    bool paired = false;
+    int osc = 0, subo = 0, n_sub = 0;
+    if (!(o.flag & FLAG_NOPAIRING) && n_pri[0] && n_pri[1]) {
+        osc = mem_pair_eq(B, pes, rs0, rs1, id, &subo, &n_sub, z, n_pri);
+        if (osc > 0) {
+            // bail out when an end still has multiple good primary hits
+            bool is_multi = false;
+            for (int i = 0; i < 2 && !is_multi; ++i)
+                for (int j = 1; j < n_pri[i]; ++j)
+                    if (rr[i]->regs[j].secondary < 0 &&
+                        rr[i]->regs[j].score >= o.T) {
+                        is_multi = true;
+                        break;
+                    }
+            if (!is_multi) paired = true;
+        }
+    }
+    if (paired) {
+        int score_un = rs0->regs[0].score + rs1->regs[0].score -
+                       o.pen_unpaired;
+        subo = std::max(subo, score_un);
+        int q_pe = raw_mapq(osc - subo, o.a);
+        if (n_sub > 0) q_pe -= (int)(4.343 * log(n_sub + 1) + .499);
+        if (q_pe < 0) q_pe = 0;
+        if (q_pe > 60) q_pe = 60;
+        q_pe = (int)(q_pe * (1. - .5 * (rs0->regs[0].frac_rep +
+                                        rs1->regs[0].frac_rep)) + .499);
+        int q_se[2];
+        if (osc > score_un) {  // paired alignment preferred
+            for (int i = 0; i < 2; ++i) {
+                RegC* c = &rr[i]->regs[z[i]];
+                if (c->secondary >= 0) {
+                    c->sub = rr[i]->regs[c->secondary].score;
+                    c->secondary = -2;
+                }
+                q_se[i] = approx_mapq(o, *c);
+            }
+            q_se[0] = q_se[0] > q_pe ? q_se[0]
+                      : q_pe < q_se[0] + 40 ? q_pe : q_se[0] + 40;
+            q_se[1] = q_se[1] > q_pe ? q_se[1]
+                      : q_pe < q_se[1] + 40 ? q_pe : q_se[1] + 40;
+            extra_flag |= 2;
+            q_se[0] = std::min(q_se[0],
+                               raw_mapq(rr[0]->regs[z[0]].score -
+                                        rr[0]->regs[z[0]].csub, o.a));
+            q_se[1] = std::min(q_se[1],
+                               raw_mapq(rr[1]->regs[z[1]].score -
+                                        rr[1]->regs[z[1]].csub, o.a));
+        } else {
+            z[0] = z[1] = 0;
+            q_se[0] = approx_mapq(o, rs0->regs[0]);
+            q_se[1] = approx_mapq(o, rs1->regs[0]);
+        }
+        for (int i = 0; i < 2; ++i) {  // secondary/primary switcheroo
+            auto& a = rr[i]->regs;
+            int k = a[z[i]].secondary_all;
+            if (k >= 0 && k < n_pri[i]) {
+                for (auto& r : a)
+                    if (r.secondary_all == k) r.secondary_all = z[i];
+                a[k].secondary_all = z[i];
+                a[z[i]].secondary_all = -1;
+            }
+        }
+        vector<string> XA[2];
+        if (!(o.flag & FLAG_ALL)) {
+            gen_alt(B, rs0, &XA[0]);
+            gen_alt(B, rs1, &XA[1]);
+        }
+        vector<AlnOut> aa[2];
+        for (int i = 0; i < 2; ++i) {
+            h[i] = reg2aln(B, rr[i], &rr[i]->regs[z[i]]);
+            h[i].mapq = q_se[i];
+            h[i].flag |= (0x40 << i) | extra_flag;
+            if (!XA[i].empty() && !XA[i][z[i]].empty())
+                h[i].XA = XA[i][z[i]];
+            aa[i].push_back(h[i]);
+            if (n_pri[i] < (int)rr[i]->regs.size()) {  // ALT supplementary
+                RegC* p = &rr[i]->regs[n_pri[i]];
+                if (p->score < o.T || p->secondary >= 0 || !p->is_alt)
+                    continue;
+                AlnOut g = reg2aln(B, rr[i], p);
+                g.flag |= 0x800 | (0x40 << i) | extra_flag;
+                if (!XA[i].empty() && !XA[i][n_pri[i]].empty())
+                    g.XA = XA[i][n_pri[i]];
+                aa[i].push_back(std::move(g));
+            }
+        }
+        for (int i = 0; i < 2; ++i) {
+            rr[i]->sam.clear();
+            for (int k = 0; k < (int)aa[i].size(); ++k)
+                aln2sam(B, rr[i], names[i], quals[i], qual_lens[i],
+                        comments[i], rg_id, (int)aa[i].size(), aa[i], k,
+                        &rr[i]->sam, &h[!i]);
+        }
+        return n;
+    }
+    // no pairing: emit both ends as (possibly) unpaired with mate info
+    for (int i = 0; i < 2; ++i) {
+        int which = -1;
+        auto& a = rr[i]->regs;
+        if (!a.empty()) {
+            if (a[0].score >= o.T)
+                which = 0;
+            else if (n_pri[i] < (int)a.size() &&
+                     a[n_pri[i]].score >= o.T)
+                which = n_pri[i];
+        }
+        h[i] = reg2aln(B, rr[i], which >= 0 ? &a[which] : nullptr);
+    }
+    if (!(o.flag & FLAG_NOPAIRING) && h[0].rid == h[1].rid &&
+        h[0].rid >= 0 && !rs0->regs.empty() && !rs1->regs.empty()) {
+        i64 dist;
+        int d = infer_dir(B->ref.l_pac, rs0->regs[0].rb, rs1->regs[0].rb,
+                          &dist);
+        if (!pes[d].failed && dist >= pes[d].low && dist <= pes[d].high)
+            extra_flag |= 2;
+    }
+    reg2sam(B, rs0, names[0], quals[0], qual_lens[0], comments[0], rg_id,
+            0x41 | extra_flag, &h[1]);
+    reg2sam(B, rs1, names[1], quals[1], qual_lens[1], comments[1], rg_id,
+            0x81 | extra_flag, &h[0]);
+    return n;
 }
 
 }  // namespace
@@ -1524,6 +2080,63 @@ void cs_finalize(void* h, i64 n_processed, const char* name_buf,
                            comment_buf + comment_off[r + 1]);
         reg2sam(B, &rs, name.c_str(), qual, ql,
                 comment.empty() ? nullptr : comment.c_str(), rg_id);
+    }
+}
+
+// paired-end finalize: dedup/patch per read, batch insert-size stats,
+// then mate rescue + pairing + PE SAM per consecutive read pair
+// (worker2 PE branch, mapping/bwamem.c:1308-1324 + bwamem_pair.c).
+// pes_override: 20 doubles (4 x failed,low,high,avg,std) or NULL.
+void cs_finalize_pe(void* h, i64 n_processed, const char* name_buf,
+                    const i64* name_off, const char* qual_buf,
+                    const i64* qual_off, const char* comment_buf,
+                    const i64* comment_off, const char* rg_id,
+                    const double* pes_override) {
+    Batch* B = (Batch*)h;
+    purge_contained(B);
+    for (size_t r = 0; r < B->reads.size(); ++r) {
+        ReadState& rs = B->reads[r];
+        sort_dedup_patch(B, &rs);
+        for (auto& p : rs.regs)
+            if (p.rid >= 0 && B->ref.ann_is_alt[p.rid]) p.is_alt = 1;
+    }
+    PeStat pes[4];
+    if (pes_override) {
+        for (int d = 0; d < 4; ++d) {
+            pes[d].failed = (int)pes_override[5 * d];
+            pes[d].low = (int)pes_override[5 * d + 1];
+            pes[d].high = (int)pes_override[5 * d + 2];
+            pes[d].avg = pes_override[5 * d + 3];
+            pes[d].std = pes_override[5 * d + 4];
+        }
+    } else {
+        pestat(B, pes);
+    }
+    vector<string> names(B->reads.size());
+    for (size_t r = 0; r < B->reads.size(); ++r)
+        names[r].assign(name_buf + name_off[r], name_buf + name_off[r + 1]);
+    for (size_t r = 0; r + 1 < B->reads.size(); r += 2) {
+        const char* nm[2] = {names[r].c_str(), names[r + 1].c_str()};
+        const char* ql[2] = {nullptr, nullptr};
+        i64 qlen[2] = {0, 0};
+        if (qual_off) {
+            ql[0] = qual_buf + qual_off[r];
+            ql[1] = qual_buf + qual_off[r + 1];
+            qlen[0] = qual_off[r + 1] - qual_off[r];
+            qlen[1] = qual_off[r + 2] - qual_off[r + 1];
+        }
+        string cm[2];
+        const char* cmp[2] = {nullptr, nullptr};
+        if (comment_off) {
+            for (int i = 0; i < 2; ++i)
+                if (comment_off[r + i + 1] > comment_off[r + i]) {
+                    cm[i].assign(comment_buf + comment_off[r + i],
+                                 comment_buf + comment_off[r + i + 1]);
+                    cmp[i] = cm[i].c_str();
+                }
+        }
+        sam_pe(B, pes, (n_processed >> 1) + (i64)(r >> 1),
+               &B->reads[r], &B->reads[r + 1], nm, ql, qlen, cmp, rg_id);
     }
 }
 

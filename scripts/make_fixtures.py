@@ -82,11 +82,47 @@ def simulate_reads(seq: str, seq2: str):
     return reads
 
 
+def simulate_pairs(seq: str, seq2: str, n_pairs: int = 800):
+    """Proper FR pairs, insert ~350 +/- 40, plus a few discordant ones."""
+    rng = np.random.default_rng(99)
+    contigs = [seq, seq2]
+    pairs = []
+    for i in range(n_pairs):
+        ci = int(rng.integers(0, 2))
+        s = contigs[ci]
+        if rng.random() < 0.03:  # discordant / distant pair
+            isize = int(rng.integers(3000, 8000))
+        else:
+            isize = int(rng.normal(350, 40))
+        isize = max(READ_LEN + 10, min(isize, len(s) - 10))
+        pos = int(rng.integers(0, len(s) - isize))
+        r1 = s[pos: pos + READ_LEN]
+        r2 = s[pos + isize - READ_LEN: pos + isize]
+        r2 = r2.translate(COMP)[::-1]
+        out = []
+        for r in (r1, r2):
+            rl = list(r)
+            for j in range(READ_LEN):
+                if rng.random() < ERR_RATE:
+                    rl[j] = "ACGT"[int(rng.integers(0, 4))]
+            out.append("".join(rl))
+        if rng.random() < 0.5:  # read1/read2 strand swap
+            out = [out[1].translate(COMP)[::-1], out[0].translate(COMP)[::-1]]
+        pairs.append(out)
+    return pairs
+
+
 def main() -> None:
     os.makedirs(FIX, exist_ok=True)
     fa = os.path.join(FIX, "tiny.fa")
     seq, seq2 = make_genome(fa)
     reads = simulate_reads(seq, seq2)
+    pairs = simulate_pairs(seq, seq2)
+    with open(os.path.join(FIX, "reads_1.fq"), "w") as f1, \
+            open(os.path.join(FIX, "reads_2.fq"), "w") as f2:
+        for i, (r1, r2) in enumerate(pairs):
+            f1.write(f"@pair{i}/1\n{r1}\n+\n{'I' * len(r1)}\n")
+            f2.write(f"@pair{i}/2\n{r2}\n+\n{'I' * len(r2)}\n")
 
     with open(os.path.join(FIX, "reads.fq"), "w") as f:
         for i, r in enumerate(reads):
@@ -119,6 +155,16 @@ def main() -> None:
             with open(os.path.join(FIX, out), "w") as f:
                 f.writelines(lines)
             print("wrote", out, len(lines), "lines")
+        # paired-end golden (bwamem is the PE oracle; CompSeed is SE-only)
+        r = subprocess.run(
+            [bwamem, os.path.join(FIX, "tiny"),
+             os.path.join(FIX, "reads_1.fq"), os.path.join(FIX, "reads_2.fq")],
+            check=True, capture_output=True)
+        lines = [l for l in r.stdout.decode().splitlines(keepends=True)
+                 if not l.startswith("@PG")]
+        with open(os.path.join(FIX, "golden_bwamem_pe.sam"), "w") as f:
+            f.writelines(lines)
+        print("wrote golden_bwamem_pe.sam", len(lines), "lines")
     else:
         print("reference binaries not found; goldens not regenerated",
               file=sys.stderr)
