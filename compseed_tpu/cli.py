@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import math
+import os
 import sys
 import time
 
@@ -196,7 +197,15 @@ def cmd_mem(argv: list[str]) -> int:
     if args.hdr_line:
         hdr_extra = (hdr_extra + "\n" if hdr_extra else "") + args.hdr_line
 
-    fm = FMIndex.load(args.index_prefix)
+    # shm-staged index first (bwa_idx_load_from_shm, main.cpp:389-393)
+    from compseed_tpu.index import shm as shm_mod
+    shm_name = os.path.basename(args.index_prefix)
+    if shm_mod.shm_available(shm_name):
+        print(f"[mem] attaching shm-staged index {shm_name!r}",
+              file=sys.stderr)
+        fm = shm_mod.shm_load(shm_name)
+    else:
+        fm = FMIndex.load(args.index_prefix)
     if args.ignore_alt:
         for a in fm.bns.anns:
             a.is_alt = 0
@@ -226,24 +235,57 @@ def cmd_mem(argv: list[str]) -> int:
     else:
         reader = read_fastq_chunks if sniff_is_fastq(args.reads) \
             else read_reordered_chunks
+    # 3-stage pipeline: reader thread | align (this thread) | writer
+    # thread — the kt_pipeline(2, process, 3) overlap of main.cpp:438 with
+    # the same ordered-output guarantee (single aligner, FIFO queues).
+    import queue
+    import threading
+
+    q_in: "queue.Queue" = queue.Queue(maxsize=2)
+    q_out: "queue.Queue" = queue.Queue(maxsize=4)
+
+    def _reader():
+        try:
+            for chunk in reader(args.reads, chunk_bases):
+                q_in.put(chunk)
+        finally:
+            q_in.put(None)
+
+    def _writer():
+        while True:
+            item = q_out.get()
+            if item is None:
+                break
+            for r in item:
+                if r.sam:
+                    out.write(r.sam)
+
+    rt = threading.Thread(target=_reader, daemon=True)
+    wt = threading.Thread(target=_writer, daemon=True)
+    rt.start()
+    wt.start()
     stats = SeedingStats()
     n_processed = 0
     t0 = time.time()
-    for chunk in reader(args.reads, chunk_bases):
+    while True:
+        chunk = q_in.get()
+        if chunk is None:
+            break
         if not args.copy_comment:
             for r in chunk:
                 r.comment = None
         align_chunk(opt, fm, chunk, n_processed, engine=engine, stats=stats,
                     seeder=seeder, tail=tail, rg_id=rg_id,
                     pes_override=pes_override)
-        for r in chunk:
-            if r.sam:
-                out.write(r.sam)
+        q_out.put(chunk)
         n_processed += len(chunk)
         if args.verbose >= 3:
             print(f"[mem] processed {n_processed} reads "
                   f"({n_processed / (time.time() - t0):.0f} reads/s)",
                   file=sys.stderr)
+    q_out.put(None)
+    rt.join()
+    wt.join()
     if args.output:
         out.close()
     if args.verbose >= 3 and stats.bwt_queries:
@@ -256,16 +298,44 @@ def cmd_mem(argv: list[str]) -> int:
     return 0
 
 
+def cmd_shm(argv: list[str]) -> int:
+    """Stage/drop a shared-memory index copy (bwashm.c semantics)."""
+    from compseed_tpu.index import shm as shm_mod
+    ap = argparse.ArgumentParser(prog="compseed-tpu shm")
+    ap.add_argument("prefix", nargs="?")
+    ap.add_argument("-d", action="store_true", dest="drop",
+                    help="destroy staged indexes")
+    ap.add_argument("-l", action="store_true", dest="list_them")
+    args = ap.parse_args(argv)
+    if args.drop:
+        shm_mod.shm_destroy(os.path.basename(args.prefix)
+                            if args.prefix else None)
+        return 0
+    if args.list_them:
+        root = shm_mod.SHM_ROOT
+        if os.path.isdir(root):
+            for n in sorted(os.listdir(root)):
+                print(n)
+        return 0
+    if not args.prefix:
+        ap.error("prefix required to stage")
+    name = shm_mod.shm_stage(args.prefix)
+    print(f"[shm] staged index as {name!r}", file=sys.stderr)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if not argv or argv[0] in ("-h", "--help"):
-        print("usage: compseed-tpu {index,mem} ...", file=sys.stderr)
+        print("usage: compseed-tpu {index,mem,shm} ...", file=sys.stderr)
         return 1
     cmd, rest = argv[0], argv[1:]
     if cmd == "index":
         return cmd_index(rest)
     if cmd == "mem":
         return cmd_mem(rest)
+    if cmd == "shm":
+        return cmd_shm(rest)
     print(f"unknown command {cmd!r}", file=sys.stderr)
     return 1
 

@@ -195,3 +195,69 @@ def seed_strategy1(fm: FMIndex, q: np.ndarray, x: int, min_len: int,
         else:
             return None, i + 1
     return None, length
+
+
+def smem1a(fm: FMIndex, q: np.ndarray, x: int, min_intv: int,
+           max_intv: int):
+    """Full bwt_smem1a (FM_index/bwt.c:289-351): SMEMs covering x with the
+    min_intv / max_intv knobs of the iterator API.
+
+    Returns (mems, ret) where mems entries are (k, l, s, beg, end) sorted
+    by start coordinate.  Reproduces the reference's quirk of testing the
+    loop-carried ``ik`` interval size against max_intv during the
+    backward pass.
+    """
+    length = len(q)
+    if q[x] > 3:
+        return [], x + 1
+    min_intv = max(min_intv, 1)
+    ik = set_intv(fm, int(q[x]))
+    ik_info = x + 1
+    curr: list[tuple[np.ndarray, int]] = []
+    i = x + 1
+    while i < length:
+        if max_intv and ik[2] < max_intv:
+            curr.append((ik.copy(), ik_info))
+            break
+        if q[i] < 4:
+            c = 3 - int(q[i])
+            ok = extend(fm, ik, 0)
+            if ok[c, 2] != ik[2]:
+                curr.append((ik.copy(), ik_info))
+                if ok[c, 2] < min_intv:
+                    break
+            ik = ok[c].copy()
+            ik_info = i + 1
+        else:
+            curr.append((ik.copy(), ik_info))
+            break
+        i += 1
+    if i == length:
+        curr.append((ik.copy(), ik_info))
+    curr.reverse()
+    ret = curr[0][1]
+    prev = curr
+    mems: list[tuple[int, int, int, int, int]] = []
+    i = x - 1
+    while i >= -1:
+        c = -1 if (i < 0 or q[i] > 3) else int(q[i])
+        curr = []
+        for p_ik, p_end in prev:
+            okc = None
+            if c >= 0 and ik[2] >= max_intv:
+                okc = extend(fm, p_ik, 1)[c]
+            if c < 0 or (max_intv and ik[2] < max_intv) or \
+                    (okc is not None and okc[2] < min_intv) or okc is None:
+                if not curr:
+                    if not mems or i + 1 < mems[-1][3]:
+                        ik = p_ik.copy()
+                        mems.append((int(p_ik[0]), int(p_ik[1]),
+                                     int(p_ik[2]), i + 1, p_end))
+            elif not curr or okc[2] != curr[-1][0][2]:
+                curr.append((okc.copy(), p_end))
+        if not curr:
+            break
+        prev = curr
+        i -= 1
+    mems.reverse()
+    return mems, ret

@@ -22,6 +22,11 @@ class Read:
 
 
 def _opener(path: str):
+    """Transparent open: plain, gzip, or '-' for stdin (kopen semantics,
+    bwalib/kopen.c:268-336; http/ftp sources are out of scope here)."""
+    if path == "-":
+        import sys
+        return sys.stdin
     with open(path, "rb") as probe:
         magic = probe.read(2)
     return gzip.open(path, "rt") if magic == b"\x1f\x8b" else open(path, "rt")
@@ -91,6 +96,8 @@ def read_reordered_chunks(path: str, chunk_size: int) -> Iterator[list[Read]]:
 
 def sniff_is_fastq(path: str) -> bool:
     """main.cpp:399-406: first character '@' selects FASTQ parsing."""
+    if path == "-":
+        return True
     f = _opener(path)
     first = f.read(1)
     f.close()
