@@ -86,7 +86,7 @@ def main() -> None:
     fm, reads_arr = _setup()
     opt = MemOptions()
     engine = device_engine(opt)
-    seeder = device_seeder(opt, fm)
+    seeder = device_seeder(opt, fm, dedup=True)
     tail = None
     if USE_NATIVE_TAIL:
         from compseed_tpu.native import NativeTail

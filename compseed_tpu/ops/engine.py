@@ -16,13 +16,15 @@ def device_engine(opt, fm=None):
     return BswRunner(opt, np.array(opt.mat))
 
 
-def device_seeder(opt, fm, version: str | None = None):
+def device_seeder(opt, fm, version: str | None = None,
+                  dedup: bool = False):
     """v2 (default): device-resident dense-worklist seeder (ops/seeder2);
-    v1: lockstep per-read seeder (ops/smem), kept as the fallback path."""
+    v1: lockstep per-read seeder (ops/smem), kept as the fallback path.
+    dedup enables cross-read walk dedup for compressor-reordered input."""
     import os
     version = version or os.environ.get("COMPSEED_SEEDER", "v2")
     if version == "v1":
         from compseed_tpu.ops.smem import BatchSeeder
         return BatchSeeder(opt, fm)
     from compseed_tpu.ops.seeder2 import DeviceSeeder
-    return DeviceSeeder(opt, fm)
+    return DeviceSeeder(opt, fm, dedup=dedup)

@@ -53,10 +53,17 @@ class DeviceSeeder:
     SEED_F = 24        # sampled seeds
     U_F = 8            # unique SAL requests
 
-    def __init__(self, opt, fm, dfi: DeviceFMIndex | None = None):
+    def __init__(self, opt, fm, dfi: DeviceFMIndex | None = None,
+                 dedup: bool = False):
+        """dedup=True enables the cross-read walk deduplication (the
+        compressive SST reuse): worth it on compressor-reordered input
+        where >=50% of backward-walk states repeat across the batch; the
+        representative pool is then half-sized, so highly diverse input
+        would overflow to the legacy path instead."""
         self.opt = opt
         self.fm = fm
         self.dfi = dfi if dfi is not None else to_device(fm)
+        self.dedup = dedup
         self._jits: dict = {}
         self.prof: dict = {}
         self.last_overflow = False
@@ -87,6 +94,10 @@ class DeviceSeeder:
         r3fn = jax.vmap(partial(_seed_strategy_one, fm, L,
                                 opt.min_seed_len, int(opt.max_mem_intv)))
 
+        CAP_U = GP // 2
+        stages_u = [(CAP_U, 6), (CAP_U // 2, 24), (CAP_U // 8, MAXW)]
+        use_dedup = self.dedup
+
         @jax.jit
         def j_round1(qarr, rlens):
             R_ = qarr.shape[0]
@@ -95,12 +106,27 @@ class DeviceSeeder:
                                    rlens > 0)
             pool, n_pool, povf = ss.build_pool(lep, cnt, GP)
             qflat = qarr.reshape(-1)
-            death, fk, fl, fs, wovf = ss.walk_pool(fm, qflat, L, pool,
-                                                   stages1)
+            if use_dedup:
+                # compressive cross-read reuse: walk one representative
+                # per (interval, pivot, prefix) state, scatter the result
+                # to every duplicate (the SST hit, comp_seed.cpp:2265)
+                ph = ss.prefix_hashes(qarr)
+                rep_pool, group, n_u, dovf = ss.dedup_pool(pool, ph, CAP_U)
+                death_r, fk_r, fl_r, fs_r, wovf = ss.walk_pool(
+                    fm, qflat, L, rep_pool, stages_u)
+                death = death_r[group]
+                fk = fk_r[group]
+                fs = fs_r[group]
+                fl = fl_r[group] - rep_pool[group, 1] + pool[:, 1]
+                povf = povf | dovf
+            else:
+                n_u = n_pool
+                death, fk, fl, fs, wovf = ss.walk_pool(fm, qflat, L, pool,
+                                                       stages1)
             ok, rid, k, l, s, beg, end = ss.reconstruct(
                 pool, death, fk, fl, fs, opt.min_seed_len, (5, 4))
             flags = jnp.stack([jnp.any(sovf != 0), povf, wovf])
-            return pool, ok, rid, k, l, s, beg, end, flags
+            return pool, ok, rid, k, l, s, beg, end, flags, n_pool, n_u
 
         @jax.jit
         def j_round2(qarr, rlens, ok, rid, k, s, beg, end):
@@ -215,7 +241,8 @@ class DeviceSeeder:
 
         @jax.jit
         def j_pack(mok, mrid, ms, mbeg, mend, mtotal, rbeg, qb, ln,
-                   stotal, n_uniq, seed_cnt, f1, f2, f3, f4, f5):
+                   stotal, n_uniq, seed_cnt, f1, f2, f3, f4, f5,
+                   n_pool, n_u):
             """Pack results into two blobs — every device->host transfer
             over the tunnel pays a large flat cost, so ship exactly two
             arrays (one i32, one index-dtype).  f1/f2 are the round-1/2
@@ -226,7 +253,8 @@ class DeviceSeeder:
                            n_uniq.astype(i32)]),
                 f1.astype(i32), f2.astype(i32),
                 jnp.stack([f3.astype(i32), f4.astype(i32),
-                           f5.astype(i32)])])
+                           f5.astype(i32), n_pool.astype(i32),
+                           n_u.astype(i32)])])
             blob_i = jnp.concatenate([
                 mrid2.astype(i32), mbeg.astype(i32), mend.astype(i32),
                 qb.astype(i32), ln.astype(i32), seed_cnt.astype(i32),
@@ -257,7 +285,8 @@ class DeviceSeeder:
         t0 = time.time()
         qd = jnp.asarray(qarr)
         rd = jnp.asarray(rlens)
-        pool, ok, rid, k, l, s, beg, end, ovf1 = fns["r1"](qd, rd)
+        pool, ok, rid, k, l, s, beg, end, ovf1, n_pool, n_u = \
+            fns["r1"](qd, rd)
         r2 = fns["r2"](qd, rd, ok, rid, k, s, beg, end)
         r3 = fns["r3"](qd, rd)
         merged = fns["merge"](ok, rid, k, l, s, beg, end,
@@ -268,7 +297,7 @@ class DeviceSeeder:
         blob_i, blob_d = fns["pack"](mok, mrid, ms, mbeg, mend, mtotal,
                                      rbeg, qb, ln, stotal, n_uniq,
                                      seed_cnt, ovf1, r2[7], r3[7], movf,
-                                     sovf)
+                                     sovf, n_pool, n_u)
 
         # ---- one sync point: pull the two packed result blobs
         blob_i, blob_d = jax.device_get((blob_i, blob_d))
@@ -282,9 +311,10 @@ class DeviceSeeder:
         qb_h = blob_i[off:off + SEEDCAP]; off += SEEDCAP
         ln_h = blob_i[off:off + SEEDCAP]; off += SEEDCAP
         seed_cnt_h = blob_i[off:off + R]; off += R
-        scal = blob_i[off:off + 13]
+        scal = blob_i[off:off + 15]
         mtotal_h, stotal_h, n_uniq_h = scal[0], scal[1], scal[2]
-        oflags = scal[3:]
+        oflags = scal[3:13]
+        npool_h, nu_h = int(scal[13]), int(scal[14])
         ms_h = blob_d[:MEMCAP]
         rbeg_h = blob_d[MEMCAP:MEMCAP + SEEDCAP]
 
@@ -312,6 +342,8 @@ class DeviceSeeder:
         if stats is not None:
             stats.sal_queries += stotal_h
             stats.sal_calls += int(n_uniq_h)
+            stats.bwt_queries += npool_h
+            stats.bwt_calls += nu_h
         self._mrows = None
         return mflat, moff, sflat, soff
 
@@ -336,7 +368,8 @@ class DeviceSeeder:
         fns = self._build(R, L)
         qd = jnp.asarray(qarr)
         rd = jnp.asarray(rlens)
-        pool, ok, rid, k, l, s, beg, end, ovf1 = fns["r1"](qd, rd)
+        pool, ok, rid, k, l, s, beg, end, ovf1, n_pool, n_u = \
+            fns["r1"](qd, rd)
         r2 = fns["r2"](qd, rd, ok, rid, k, s, beg, end)
         r3 = fns["r3"](qd, rd)
         merged = fns["merge"](ok, rid, k, l, s, beg, end,

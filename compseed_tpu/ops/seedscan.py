@@ -328,3 +328,70 @@ def reconstruct(pool, death, fk, fl, fs, min_seed_len: int, group_cols):
     end = pool[:, 3].astype(jnp.int32)
     ok = emit & ((end - beg) >= min_seed_len) & (fs > 0)
     return ok, pool[:, 5].astype(jnp.int32), fk, fl, fs, beg, end
+
+
+# ----------------------------------------------------------------------
+# cross-read walk deduplication (the SST's compressive reuse)
+# ----------------------------------------------------------------------
+
+def prefix_hashes(qarr):
+    """(R, L) uint8 -> (R, L) uint64 rolling hashes; H[:, i] covers
+    q[:, :i+1].  A backward walk from position i consumes exactly the
+    read prefix below its pivot, so (interval k, size s, pivot,
+    prefix-hash) identifies a walk's full outcome across the batch —
+    the cross-read state sharing the reference gets from its SST trie
+    (mapping/SST.h:60-92), here as a sort/unique over the worklist.
+    """
+    B = jnp.uint64(0x100000001B3)            # FNV-ish odd multiplier
+    a = (qarr.astype(jnp.uint64) + 1)
+    m = jnp.full(qarr.shape, B, jnp.uint64)
+
+    def comb(x, y):
+        m1, a1 = x
+        m2, a2 = y
+        return m1 * m2, a1 * m2 + a2
+
+    _, h = jax.lax.associative_scan(comb, (m, a), axis=1)
+    return h
+
+
+def dedup_pool(pool, ph, CAP_U: int):
+    """Group pool rows whose walks must be identical; compact one
+    representative per group to the front.
+
+    Returns (rep_pool (CAP_U, 7), group (GP,) i32 mapping each row to its
+    representative, n_unique, ovf).
+    """
+    i32 = jnp.int32
+    GP = pool.shape[0]
+    valid = pool[:, 6] != 0
+    rid = pool[:, 5].astype(i32)
+    piv = pool[:, 4].astype(i32)
+    hrow = jnp.where(piv > 0,
+                     ph[rid, jnp.clip(piv - 1, 0, ph.shape[1] - 1)],
+                     jnp.uint64(0))
+    big = jnp.iinfo(jnp.int64).max
+    k_key = jnp.where(valid, pool[:, 0].astype(jnp.int64), big)
+    s_key = jnp.where(valid, pool[:, 2].astype(jnp.int64), big)
+    p_key = jnp.where(valid, piv.astype(jnp.int64), big)
+    h_key = jnp.where(valid, hrow.astype(jnp.int64), big)
+    order = jnp.lexsort((p_key, s_key, k_key, h_key))
+    ks = [h_key[order], k_key[order], s_key[order], p_key[order]]
+    vs = valid[order]
+    diff = jnp.concatenate([
+        jnp.asarray([True]),
+        (ks[0][1:] != ks[0][:-1]) | (ks[1][1:] != ks[1][:-1]) |
+        (ks[2][1:] != ks[2][:-1]) | (ks[3][1:] != ks[3][:-1])])
+    head = vs & diff
+    gidx_sorted = jnp.cumsum(head.astype(i32)) - 1     # group per sortpos
+    n_u = jnp.sum(head.astype(i32))
+    ovf = n_u > CAP_U
+    order2 = jnp.argsort(~head, stable=True)
+    rep_take = order[order2][:CAP_U]
+    rep_pool = pool[rep_take]
+    rep_valid = (jnp.arange(CAP_U, dtype=i32) < n_u)
+    rep_pool = rep_pool.at[:, 6].set(rep_valid.astype(pool.dtype))
+    sortpos = jnp.zeros(GP, i32).at[order].set(
+        jnp.arange(GP, dtype=i32))
+    group = jnp.clip(gidx_sorted[sortpos], 0, CAP_U - 1)
+    return rep_pool, group, n_u, ovf

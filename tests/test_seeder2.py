@@ -84,3 +84,22 @@ def test_seeder2_run_flat_contract(tiny_fm):
     assert np.array_equal(m1, m2)
     assert np.array_equal(so1, so2)
     assert np.array_equal(s1, s2)
+
+
+def test_seeder2_dedup_matches_oracle(tiny_fm):
+    """Cross-read walk dedup (the compressive SST reuse) must not change
+    results — identical matches on a sorted (reordered-style) batch,
+    with the query-vs-call counters showing actual merging."""
+    from compseed_tpu.pipeline.seeding import SeedingStats
+
+    opt = MemOptions()
+    queries = sorted(_fixture_queries(64), key=lambda q: q.tobytes())
+    sd = DeviceSeeder(opt, tiny_fm, dedup=True)
+    got = sd(tiny_fm, opt, queries)
+    assert not sd.last_overflow
+    for r, q in enumerate(queries):
+        want = seeding.collect_matches(tiny_fm, opt, q)
+        assert got[r][0] == want, f"read {r}"
+    st = SeedingStats()
+    sd.run_flat(queries, st)
+    assert st.bwt_calls <= st.bwt_queries
