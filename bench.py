@@ -85,8 +85,8 @@ def main() -> None:
 
     fm, reads_arr = _setup()
     opt = MemOptions()
-    engine = device_engine(opt)
     seeder = device_seeder(opt, fm, dedup=True)
+    engine = device_engine(opt, fm, dfi=seeder.dfi)
     tail = None
     if USE_NATIVE_TAIL:
         from compseed_tpu.native import NativeTail

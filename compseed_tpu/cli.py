@@ -221,10 +221,10 @@ def cmd_mem(argv: list[str]) -> int:
     is_fastq_in = args.reads2 is not None or sniff_is_fastq(args.reads)
     if args.engine == "device":
         from compseed_tpu.ops.engine import device_engine, device_seeder
-        engine = device_engine(opt, fm)
         # compressor-reordered raw input: batches share backward-search
         # states heavily, so enable the cross-read walk dedup
         seeder = device_seeder(opt, fm, dedup=not is_fastq_in)
+        engine = device_engine(opt, fm, dfi=getattr(seeder, "dfi", None))
     if args.tail == "native":
         from compseed_tpu.native import NativeTail
         tail = NativeTail(opt, fm)

@@ -87,7 +87,11 @@ def _load():
     lib.cs_batch_create.restype = ct.c_void_p
     lib.cs_batch_create.argtypes = [
         ct.POINTER(CsOpt), u8p, ct.c_int64, i64p, i32p, u8p, ct.c_int32,
-        ct.c_char_p, ct.c_int32, u8p, i64p, i64p, i64p, i64p, i64p]
+        ct.c_char_p, ct.c_int32, u8p, i64p, i64p, i64p, i64p, i64p,
+        ct.c_int32]
+    lib.cs_export_pair_meta.restype = ct.c_int64
+    lib.cs_export_pair_meta.argtypes = [ct.c_void_p, ct.c_int32, i32p,
+                                        i64p, i32p]
     lib.cs_pending_pairs.restype = ct.c_int64
     lib.cs_pending_pairs.argtypes = [ct.c_void_p, ct.c_int32]
     lib.cs_pair_buf_sizes.restype = ct.c_int64
@@ -181,6 +185,7 @@ class NativeTail:
         moff = np.ascontiguousarray(moff, dtype=np.int64)
         soff = np.ascontiguousarray(soff, dtype=np.int64)
 
+        use_meta = bool(getattr(engine, "supports_meta", False))
         h = lib.cs_batch_create(
             ct.byref(self.copt), _ptr(self.pac, ct.c_uint8),
             self.fm.l_pac, _ptr(self.ann_off, ct.c_int64),
@@ -188,11 +193,30 @@ class NativeTail:
             len(self.fm.bns.anns), self.names, R,
             _ptr(qbuf, ct.c_uint8), _ptr(qoff, ct.c_int64),
             _ptr(mflat, ct.c_int64), _ptr(moff, ct.c_int64),
-            _ptr(sflat, ct.c_int64), _ptr(soff, ct.c_int64))
+            _ptr(sflat, ct.c_int64), _ptr(soff, ct.c_int64),
+            1 if use_meta else 0)
         try:
             for side, pen in ((0, self.opt.pen_clip5),
                               (1, self.opt.pen_clip3)):
                 for rnd in range(MAX_BAND_TRY):
+                    w = self.opt.w << rnd
+                    last = 1 if rnd + 1 == MAX_BAND_TRY else 0
+                    if use_meta:
+                        n = lib.cs_pending_pairs(h, side)
+                        if n == 0:
+                            break
+                        qmeta = np.zeros((n, 4), np.int32)
+                        rmeta = np.zeros((n, 2), np.int64)
+                        h0 = np.zeros(n, np.int32)
+                        lib.cs_export_pair_meta(h, side,
+                                                _ptr(qmeta, ct.c_int32),
+                                                _ptr(rmeta, ct.c_int64),
+                                                _ptr(h0, ct.c_int32))
+                        res = engine.run_meta(qmeta, rmeta, h0, w, pen)
+                        lib.cs_apply_round(h, side, w, last,
+                                           *[_ptr(a, ct.c_int32)
+                                             for a in res])
+                        continue
                     mq = ct.c_int64()
                     mr = ct.c_int64()
                     n = lib.cs_pair_buf_sizes(h, side, ct.byref(mq),
@@ -209,9 +233,7 @@ class NativeTail:
                                         _ptr(rb, ct.c_uint8),
                                         _ptr(ro, ct.c_int64),
                                         _ptr(h0, ct.c_int32))
-                    w = self.opt.w << rnd
                     res = engine_flat(engine, qb, qo, rb, ro, h0, w, pen)
-                    last = 1 if rnd + 1 == MAX_BAND_TRY else 0
                     lib.cs_apply_round(h, side, w, last,
                                        *[_ptr(a, ct.c_int32) for a in res])
 

@@ -228,11 +228,14 @@ class BswRunner:
     program is used (same integer semantics, differentially tested).
     """
 
-    def __init__(self, opt, mat: np.ndarray, use_pallas: bool | None = None):
+    def __init__(self, opt, mat: np.ndarray, use_pallas: bool | None = None,
+                 dfi=None):
         self.opt = opt
         self.mat = jnp.asarray(mat.reshape(5, 5).astype(np.int32))
         self.mat25 = jnp.asarray(mat.reshape(1, 25).astype(np.int32))
         self.max_sc = int(mat.max())
+        self.dfi = dfi               # device index (pac) for the meta path
+        self._qctx = None            # (qflat device array, L) per chunk
         if use_pallas is None:
             import jax
             use_pallas = jax.default_backend() != "cpu"
@@ -274,6 +277,62 @@ class BswRunner:
             jnp.asarray(qlp), jnp.asarray(targets),
             jnp.asarray(tlp), jnp.asarray(h0p)))
         return tuple(out[j, :n].astype(np.int32) for j in range(6))
+
+    def set_query_context(self, qd, L: int = 0) -> None:
+        """Per-chunk device read matrix for metadata-only pair transfer;
+        call with None to clear (e.g. a chunk that fell back to the
+        legacy seeder has no device read matrix)."""
+        if qd is None:
+            self._qctx = None
+            return
+        self._qctx = (qd.reshape(-1).astype(jnp.int8), L)
+
+    @property
+    def supports_meta(self) -> bool:
+        return (self.use_pallas and self.dfi is not None and
+                self._qctx is not None)
+
+    def run_meta(self, qmeta: np.ndarray, rmeta: np.ndarray,
+                 h0: np.ndarray, w: int, pen_clip: int):
+        """Pair metadata interface: sequences are sliced on device from
+        the chunk read matrix + packed reference; only ~28 B/pair cross
+        the host link (vs the padded tiles of run_flat)."""
+        from compseed_tpu.ops.bsw_pallas import (LT, bsw_meta_tiles,
+                                                 clamp_band)
+        opt = self.opt
+        n = len(h0)
+        if n == 0:
+            z = np.zeros(0, np.int32)
+            return (z,) * 6
+        qflat, L = self._qctx
+        qlens = qmeta[:, 2].astype(np.int32)
+        tlens = rmeta[:, 1].astype(np.int32)
+        order = np.argsort(tlens, kind="stable")
+        P = _bucket(n, LT)
+        Q = _bucket(int(qlens.max(initial=1)), 128)
+        T = _bucket(int(tlens.max(initial=1)), 128)
+        qm = np.zeros((P, 4), np.int32)
+        qm[:n] = qmeta[order]
+        r0 = np.zeros(P, rmeta.dtype)
+        r0[:n] = rmeta[order, 0]
+        rl = np.zeros(P, np.int32)
+        rl[:n] = tlens[order]
+        h0p = np.ones((P, 1), np.int32)
+        h0p[:n, 0] = h0[order]
+        ws = np.full((P, 1), w, np.int32)
+        ws[:n, 0] = clamp_band(qlens[order], w, self.max_sc, pen_clip,
+                               opt.o_del, opt.e_del, opt.o_ins, opt.e_ins)
+        dt = self.dfi.dtype
+        out = np.asarray(bsw_meta_tiles(
+            self.mat25, qflat, self.dfi.pac_bases,
+            jnp.asarray(qm), jnp.asarray(r0).astype(dt), jnp.asarray(rl),
+            jnp.asarray(h0p), jnp.asarray(ws),
+            Q=Q, T=T, L=L, l_pac=self.dfi.l_pac,
+            o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
+            e_ins=opt.e_ins, zdrop=opt.zdrop))
+        inv = np.empty(n, np.int64)
+        inv[order] = np.arange(n)
+        return tuple(out[inv, j].astype(np.int32) for j in range(6))
 
     def _run_pallas(self, qbuf, qoff, rbuf, roff, h0, w: int, pen_clip: int):
         from compseed_tpu.ops.bsw_pallas import (LT, bsw_extend_tiles,

@@ -229,18 +229,8 @@ def _kernel(o_del, e_del, o_ins, e_ins, zdrop, Q, T,
     out_ref[:] = out
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("o_del", "e_del", "o_ins", "e_ins",
-                                    "zdrop", "interpret"))
-def bsw_extend_tiles(mat25: jax.Array,     # (1, 25) int32
-                     queries: jax.Array,   # (P, Q) int8
-                     qlens: jax.Array,     # (P, 1) int32
-                     targets: jax.Array,   # (P, T) int8
-                     tlens: jax.Array,     # (P, 1) int32
-                     h0s: jax.Array,       # (P, 1) int32
-                     ws: jax.Array,        # (P, 1) int32 clamped band
-                     *, o_del: int, e_del: int, o_ins: int, e_ins: int,
-                     zdrop: int, interpret: bool = False) -> jax.Array:
+def _call_kernel(mat25, queries, qlens, targets, tlens, h0s, ws,
+                 o_del, e_del, o_ins, e_ins, zdrop, interpret=False):
     P, Q = queries.shape
     T = targets.shape[1]
     grid = P // LT
@@ -271,6 +261,65 @@ def bsw_extend_tiles(mat25: jax.Array,     # (1, 25) int32
                         pltpu.VMEM((LT, 16), jnp.int32)],
         interpret=interpret,
     )(mat25, queries, qlens, targets, tlens, h0s, ws)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("o_del", "e_del", "o_ins", "e_ins",
+                                    "zdrop", "interpret"))
+def bsw_extend_tiles(mat25: jax.Array,     # (1, 25) int32
+                     queries: jax.Array,   # (P, Q) int8
+                     qlens: jax.Array,     # (P, 1) int32
+                     targets: jax.Array,   # (P, T) int8
+                     tlens: jax.Array,     # (P, 1) int32
+                     h0s: jax.Array,       # (P, 1) int32
+                     ws: jax.Array,        # (P, 1) int32 clamped band
+                     *, o_del: int, e_del: int, o_ins: int, e_ins: int,
+                     zdrop: int, interpret: bool = False) -> jax.Array:
+    return _call_kernel(mat25, queries, qlens, targets, tlens, h0s, ws,
+                        o_del, e_del, o_ins, e_ins, zdrop, interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("Q", "T", "L", "l_pac", "o_del",
+                                    "e_del", "o_ins", "e_ins", "zdrop"))
+def bsw_meta_tiles(mat25, qflat, pac,      # device read matrix + reference
+                   qmeta,                  # (P, 4) i32: rid, q0, qlen, rev
+                   r0,                     # (P,) index dtype
+                   rlen,                   # (P,) i32
+                   h0s, ws,                # (P, 1) i32
+                   *, Q: int, T: int, L: int, l_pac: int,
+                   o_del: int, e_del: int, o_ins: int, e_ins: int,
+                   zdrop: int) -> jax.Array:
+    """Build the DP tiles ON DEVICE from pair metadata and run the
+    kernel: sequences are sliced out of the chunk's read matrix and the
+    packed reference (rev pairs consume positions downward, which is the
+    reference's reversed-copy left extension, comp_seed.cpp:630-637),
+    so only ~28 B of metadata per pair crosses the host link."""
+    i32 = jnp.int32
+    P = qmeta.shape[0]
+    rid = qmeta[:, 0]
+    q0 = qmeta[:, 1]
+    ql = qmeta[:, 2]
+    rev = qmeta[:, 3]
+    sign = jnp.where(rev == 1, -1, 1).astype(i32)
+    j = jnp.arange(Q, dtype=i32)
+    qpos = q0[:, None] + sign[:, None] * j[None, :]
+    flat = rid[:, None] * L + qpos
+    inq = j[None, :] < ql[:, None]
+    qt = jnp.where(
+        inq, qflat[jnp.clip(flat, 0, qflat.shape[0] - 1)], 4)
+    j2 = jnp.arange(T, dtype=i32)
+    gp = r0[:, None] + (sign[:, None] * j2[None, :]).astype(r0.dtype)
+    fwd = gp < l_pac
+    pf = jnp.where(fwd, gp, 2 * l_pac - 1 - gp)
+    pf = jnp.clip(pf, 0, pac.shape[0] - 1)
+    tv = pac[pf].astype(i32)
+    tv = jnp.where(fwd, tv, 3 - tv)
+    tt = jnp.where(j2[None, :] < rlen[:, None], tv, 4)
+    return _call_kernel(
+        mat25, qt.astype(jnp.int8), ql[:, None].astype(i32),
+        tt.astype(jnp.int8), rlen[:, None].astype(i32), h0s, ws,
+        o_del, e_del, o_ins, e_ins, zdrop)
 
 
 def clamp_band(qlens: np.ndarray, w: int, max_sc: int, end_bonus: int,

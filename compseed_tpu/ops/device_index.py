@@ -86,8 +86,11 @@ def build_occ_rows(cp_occ: np.ndarray, bwt_words: np.ndarray) -> np.ndarray:
     return rows
 
 
-def to_device(fm: FMIndex) -> DeviceFMIndex:
-    idx_dtype = np.int32 if fm.seq_len + 1 < 2**31 else np.int64
+def to_device(fm: FMIndex, force_dtype=None) -> DeviceFMIndex:
+    """force_dtype overrides the int32/int64 choice (testing the
+    hg19-scale int64 path on small genomes)."""
+    idx_dtype = force_dtype or (
+        np.int32 if fm.seq_len + 1 < 2**31 else np.int64)
     assert fm.cp_occ.max() < 2**32, "per-base counts exceed uint32"
     rows = build_occ_rows(fm.cp_occ, fm.bwt_words)
     pac = unpack_pac(fm.pac, fm.l_pac)

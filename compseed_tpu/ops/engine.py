@@ -12,8 +12,8 @@ import numpy as np
 from compseed_tpu.ops.bsw import BswRunner
 
 
-def device_engine(opt, fm=None):
-    return BswRunner(opt, np.array(opt.mat))
+def device_engine(opt, fm=None, dfi=None):
+    return BswRunner(opt, np.array(opt.mat), dfi=dfi)
 
 
 def device_seeder(opt, fm, version: str | None = None,

@@ -285,6 +285,8 @@ class DeviceSeeder:
         t0 = time.time()
         qd = jnp.asarray(qarr)
         rd = jnp.asarray(rlens)
+        self.last_qd = qd
+        self.last_L = L
         pool, ok, rid, k, l, s, beg, end, ovf1, n_pool, n_u = \
             fns["r1"](qd, rd)
         r2 = fns["r2"](qd, rd, ok, rid, k, s, beg, end)
@@ -320,6 +322,7 @@ class DeviceSeeder:
 
         if oflags.any():
             self.last_overflow = True
+            self.last_qd = None      # meta engines must not reuse stale qd
             self.prof["overflow_flags"] = oflags.tolist()
             from compseed_tpu.ops.smem import BatchSeeder
             legacy = BatchSeeder(opt, self.fm, self.dfi)

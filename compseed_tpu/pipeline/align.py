@@ -42,6 +42,9 @@ def align_batch(opt: MemOptions, fm: FMIndex, reads: list[Read],
     if seeder is not None and tail is not None and \
             hasattr(seeder, "run_flat"):
         mflat, moff, sflat, soff = seeder.run_flat(queries, stats)
+        if hasattr(engine, "set_query_context"):
+            qd = getattr(seeder, "last_qd", None)
+            engine.set_query_context(qd, getattr(seeder, "last_L", 0))
         sams = tail.run_batch_flat(
             queries, mflat, moff, sflat, soff, engine, n_processed,
             [r.name for r in reads], [r.qual for r in reads],

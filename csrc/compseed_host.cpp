@@ -358,6 +358,12 @@ struct PairC {
     i32 h0;
     i32 read, regid;
     u8 pending;
+    // metadata form: the device slices sequences itself from the read
+    // matrix / packed reference (q0/r0 are the FIRST consumed positions;
+    // rev means both run downward, i.e. a left extension)
+    i32 q0 = 0, qlen = 0, rlen = 0;
+    i64 r0 = 0;
+    u8 rev = 0;
 };
 
 struct ReadState {
@@ -375,6 +381,7 @@ struct Batch {
     vector<PairC> left, right;
     int left_round = 0, right_round = 0;
     bool right_seeded = false;
+    bool meta_mode = false;  // skip byte copies; export metadata only
 };
 
 static inline int cal_max_gap(const CsOpt& o, i32 qlen) {  // :415
@@ -632,12 +639,19 @@ static void emit_pairs(Batch* B, int read_idx) {
                 PairC p;
                 p.h0 = s.len * o.a;
                 p.read = read_idx; p.regid = s.aln; p.pending = 1;
-                p.qs.resize(s.qbeg);
-                for (int i = 0; i < s.qbeg; ++i)
-                    p.qs[i] = rs.query[s.qbeg - 1 - i];
-                i64 tmp = s.rbeg - rmax0;
-                p.rs.resize(tmp);
-                for (i64 i = 0; i < tmp; ++i) p.rs[i] = rseq[tmp - 1 - i];
+                p.rev = 1;
+                p.q0 = s.qbeg - 1;
+                p.qlen = s.qbeg;
+                p.r0 = s.rbeg - 1;
+                p.rlen = (i32)(s.rbeg - rmax0);
+                if (!B->meta_mode) {
+                    p.qs.resize(s.qbeg);
+                    for (int i = 0; i < s.qbeg; ++i)
+                        p.qs[i] = rs.query[s.qbeg - 1 - i];
+                    i64 tmp = s.rbeg - rmax0;
+                    p.rs.resize(tmp);
+                    for (i64 i = 0; i < tmp; ++i) p.rs[i] = rseq[tmp - 1 - i];
+                }
                 B->left.push_back(std::move(p));
                 ar.qb = s.qbeg; ar.rb = s.rbeg;
             } else {
@@ -649,8 +663,15 @@ static void emit_pairs(Batch* B, int read_idx) {
                 PairC p;
                 p.h0 = H0_SENT;
                 p.read = read_idx; p.regid = s.aln; p.pending = 1;
-                p.qs.assign(rs.query.begin() + qe, rs.query.end());
-                p.rs.assign(rseq.begin() + re, rseq.end());
+                p.rev = 0;
+                p.q0 = (i32)qe;
+                p.qlen = (i32)(l_query - qe);
+                p.r0 = rmax0 + re;
+                p.rlen = (i32)(rmax1 - (rmax0 + re));
+                if (!B->meta_mode) {
+                    p.qs.assign(rs.query.begin() + qe, rs.query.end());
+                    p.rs.assign(rseq.begin() + re, rseq.end());
+                }
                 B->right.push_back(std::move(p));
                 ar.qe = (i32)qe; ar.re = rmax0 + re;
             } else {
@@ -1985,9 +2006,11 @@ void* cs_batch_create(const CsOpt* opt, const u8* pac, i64 l_pac,
                       const char* name_buf,
                       i32 n_reads, const u8* query_buf, const i64* query_off,
                       const i64* match_flat, const i64* match_off,
-                      const i64* seed_flat, const i64* seed_off) {
+                      const i64* seed_flat, const i64* seed_off,
+                      i32 meta_mode) {
     Batch* B = new Batch();
     B->opt = *opt;
+    B->meta_mode = meta_mode != 0;
     B->ref.pac = pac;
     B->ref.l_pac = l_pac;
     B->ref.n_anns = n_anns;
@@ -2046,6 +2069,32 @@ i64 cs_export_pairs(void* h, i32 side, u8* qbuf, i64* qoff, u8* rbuf,
         ++n;
         qoff[n] = qo;
         roff[n] = ro;
+    }
+    return n;
+}
+
+// metadata export: qmeta rows (read, q0, qlen, rev); rmeta rows
+// (r0, rlen).  Same pending/right-h0 contract as cs_export_pairs.
+i64 cs_export_pair_meta(void* h, i32 side, i32* qmeta, i64* rmeta,
+                        i32* h0) {
+    Batch* B = (Batch*)h;
+    auto& pairs = side == 0 ? B->left : B->right;
+    if (side == 1 && !B->right_seeded) {
+        for (auto& p : pairs)
+            p.h0 = B->reads[p.read].regs[p.regid].score;  // :1918-1923
+        B->right_seeded = true;
+    }
+    i64 n = 0;
+    for (auto& p : pairs) {
+        if (!p.pending) continue;
+        qmeta[4 * n] = p.read;
+        qmeta[4 * n + 1] = p.q0;
+        qmeta[4 * n + 2] = p.qlen;
+        qmeta[4 * n + 3] = p.rev;
+        rmeta[2 * n] = p.r0;
+        rmeta[2 * n + 1] = p.rlen;
+        h0[n] = p.h0;
+        ++n;
     }
     return n;
 }

@@ -103,3 +103,23 @@ def test_seeder2_dedup_matches_oracle(tiny_fm):
     st = SeedingStats()
     sd.run_flat(queries, st)
     assert st.bwt_calls <= st.bwt_queries
+
+
+def test_seeder2_int64_index_path(tiny_fm):
+    """Force the int64 device index (what hg19-scale genomes use) and
+    require identical seeding results."""
+    import numpy as np
+    from compseed_tpu.ops.device_index import to_device
+
+    opt = MemOptions()
+    queries = _fixture_queries(24)
+    dfi64 = to_device(tiny_fm, force_dtype=np.int64)
+    assert dfi64.dtype.__name__ == "int64" or str(dfi64.dtype) == \
+        "<class 'jax.numpy.int64'>" or True  # dtype property sanity below
+    import jax.numpy as jnp
+    assert dfi64.dtype == jnp.int64
+    sd = DeviceSeeder(opt, tiny_fm, dfi=dfi64)
+    got = sd(tiny_fm, opt, queries)
+    for r, q in enumerate(queries):
+        want = seeding.collect_matches(tiny_fm, opt, q)
+        assert got[r][0] == want, f"read {r}"
