@@ -220,7 +220,15 @@ def build_index(fa_path: str, sa_intv: int = SA_INTV_DEFAULT) -> BuiltIndex:
     both = np.concatenate([fwd, 3 - fwd[::-1]])
     seq_len = len(both)
 
-    sa_full = suffix_array(both)            # length seq_len+1, sa_full[0]=seq_len
+    # native SA-IS when available (linear time, 64-bit — whole-genome
+    # scale); the numpy prefix-doubling builder is the pure-python
+    # fallback and the differential oracle
+    try:
+        from compseed_tpu.native import suffix_array_native
+        sa_full = suffix_array_native(both)
+    except Exception:
+        sa_full = suffix_array(both)
+    # length seq_len+1, sa_full[0] == seq_len
     primary = int(np.nonzero(sa_full == 0)[0][0])
     bwt_codes = both[(sa_full[sa_full != 0] - 1)].astype(np.uint8)
 

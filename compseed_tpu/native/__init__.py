@@ -19,6 +19,7 @@ from compseed_tpu.options import MemOptions
 _ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 _SRC = os.path.join(_ROOT, "csrc", "compseed_host.cpp")
+_SRC_SAIS = os.path.join(_ROOT, "csrc", "sais.cpp")
 _BUILD = os.path.join(_ROOT, "build")
 _SO = os.path.join(_BUILD, "libcompseed_host.so")
 
@@ -65,10 +66,11 @@ def _to_csopt(opt: MemOptions) -> CsOpt:
 
 def build_library(force: bool = False) -> str:
     os.makedirs(_BUILD, exist_ok=True)
+    src_mtime = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC_SAIS))
     if force or not os.path.exists(_SO) or \
-            os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            os.path.getmtime(_SO) < src_mtime:
         cmd = ["g++", "-O2", "-fPIC", "-shared", "-std=c++17",
-               "-o", _SO, _SRC]
+               "-o", _SO, _SRC, _SRC_SAIS]
         subprocess.run(cmd, check=True, capture_output=True)
     return _SO
 
@@ -117,6 +119,8 @@ def _load():
     lib.cs_sam_copy.argtypes = [ct.c_void_p, ct.c_int32, ct.c_char_p]
     lib.cs_batch_destroy.restype = None
     lib.cs_batch_destroy.argtypes = [ct.c_void_p]
+    lib.cs_sais_u8.restype = ct.c_int
+    lib.cs_sais_u8.argtypes = [u8p, ct.c_int64, ct.c_int64, i64p]
     _lib = lib
     return lib
 
@@ -300,3 +304,17 @@ def engine_flat(engine, qbuf, qoff, rbuf, roff, h0, w, pen):
         for j in range(6):
             arrs[j][i] = tup[j]
     return arrs
+
+
+def suffix_array_native(s: "np.ndarray", k: int = 5) -> "np.ndarray":
+    """SA-IS suffix array of s + sentinel (csrc/sais.cpp); same contract
+    as compseed_tpu.index.suffix.suffix_array but linear time and 64-bit,
+    so whole-genome construction fits this host's RAM."""
+    lib = _load()
+    s = np.ascontiguousarray(s, dtype=np.uint8)
+    sa = np.empty(len(s) + 1, dtype=np.int64)
+    rc = lib.cs_sais_u8(_ptr(s, ct.c_uint8), len(s), k + 1,
+                        _ptr(sa, ct.c_int64))
+    if rc != 0:
+        raise RuntimeError("sais failed")
+    return sa

@@ -74,3 +74,20 @@ def test_coordinate_helpers(tiny_fm):
     assert np.array_equal(rseq, (3 - fseq)[::-1])
     # bridging returns empty
     assert len(fm.get_seq(l_pac - 10, l_pac + 10)) == 0
+
+
+def test_native_sais_matches_numpy():
+    """csrc/sais.cpp vs the numpy prefix-doubling builder, including
+    repeat-heavy adversarial strings."""
+    import numpy as np
+    from compseed_tpu.index.suffix import suffix_array
+    from compseed_tpu.native import suffix_array_native
+
+    rng = np.random.default_rng(11)
+    cases = [rng.integers(0, 4, n).astype(np.uint8)
+             for n in (1, 7, 500, 40000)]
+    cases.append(np.zeros(3000, np.uint8))
+    cases.append(np.tile(np.array([2, 0, 3, 3, 1], np.uint8), 1500))
+    for s in cases:
+        assert np.array_equal(suffix_array_native(s),
+                              suffix_array(s).astype(np.int64))
