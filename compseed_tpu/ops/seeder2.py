@@ -50,7 +50,7 @@ class DeviceSeeder:
     T2_F = 8           # round-2 tasks
     GP2_F = 16         # round-2 LEP pool
     MEM_F = 16         # merged matches
-    SEED_F = 24        # sampled seeds
+    SEED_F = 16        # sampled seeds
     U_F = 8            # unique SAL requests
 
     def __init__(self, opt, fm, dfi: DeviceFMIndex | None = None,
@@ -95,7 +95,8 @@ class DeviceSeeder:
                                 opt.min_seed_len, int(opt.max_mem_intv)))
 
         CAP_U = GP // 2
-        stages_u = [(CAP_U, 6), (CAP_U // 2, 24), (CAP_U // 8, MAXW)]
+        stages_u = [(CAP_U, 4), (CAP_U // 2, 10), (CAP_U // 4, 28),
+                    (CAP_U // 8, 72), (CAP_U // 16, MAXW)]
         use_dedup = self.dedup
 
         @jax.jit
