@@ -126,8 +126,10 @@ class DeviceSeeder:
                                                        stages1)
             ok, rid, k, l, s, beg, end = ss.reconstruct(
                 pool, death, fk, fl, fs, opt.min_seed_len, (5, 4))
-            flags = jnp.stack([jnp.any(sovf != 0), povf, wovf])
-            return pool, ok, rid, k, l, s, beg, end, flags, n_pool, n_u
+            flags = jnp.stack([povf, wovf])          # chunk-global
+            bad = sovf != 0                           # per read
+            return (pool, ok, rid, k, l, s, beg, end, flags, bad,
+                    n_pool, n_u)
 
         @jax.jit
         def j_round2(qarr, rlens, ok, rid, k, s, beg, end):
@@ -157,8 +159,11 @@ class DeviceSeeder:
                 fm, qflat, L, pool2, stages2, mh=t_mh[tix])
             ok2, rid2, k2, l2, s2, beg2, end2 = ss.reconstruct(
                 pool2, death2, fk2, fl2, fs2, opt.min_seed_len, (7,))
-            flags = jnp.stack([tovf, jnp.any(sovf2 != 0), povf2, wovf2])
-            return ok2, rid2, k2, l2, s2, beg2, end2, flags
+            flags = jnp.stack([tovf, povf2, wovf2])   # chunk-global
+            R_ = qarr.shape[0]
+            bad = jnp.zeros(R_, jnp.bool_).at[t_rid].max(
+                t_valid & (sovf2 != 0))               # per read
+            return ok2, rid2, k2, l2, s2, beg2, end2, flags, bad
 
         @jax.jit
         def j_round3(qarr, rlens):
@@ -166,7 +171,7 @@ class DeviceSeeder:
             packed = r3fn(qarr, rlens > 0)
             mems = packed[:, : MMEM3 * 5].reshape(R_, MMEM3, 5)
             n = packed[:, MMEM3 * 5].astype(i32)
-            ovf3 = jnp.any(packed[:, MMEM3 * 5 + 1] != 0)
+            ovf3 = packed[:, MMEM3 * 5 + 1] != 0      # per read
             slot = jnp.arange(MMEM3, dtype=i32)[None, :]
             valid = slot < n[:, None]
             rid3 = jnp.broadcast_to(
@@ -242,24 +247,25 @@ class DeviceSeeder:
 
         @jax.jit
         def j_pack(mok, mrid, ms, mbeg, mend, mtotal, rbeg, qb, ln,
-                   stotal, n_uniq, seed_cnt, f1, f2, f3, f4, f5,
-                   n_pool, n_u):
+                   stotal, n_uniq, seed_cnt, f1, f2, bad1, bad2, bad3,
+                   f4, f5, n_pool, n_u):
             """Pack results into two blobs — every device->host transfer
             over the tunnel pays a large flat cost, so ship exactly two
-            arrays (one i32, one index-dtype).  f1/f2 are the round-1/2
-            overflow flag vectors; f3-f5 scalars (r3/merge/seeds)."""
+            arrays (one i32, one index-dtype).  f1/f2 are chunk-global
+            overflow vectors; bad1-3 are per-read overflow bitmaps
+            (scan/r2/r3) for per-read oracle fallback."""
             mrid2 = jnp.where(mok, mrid, -1)
+            bad = (bad1 | bad2 | bad3).astype(i32)
             scalars = jnp.concatenate([
                 jnp.stack([mtotal.astype(i32), stotal.astype(i32),
                            n_uniq.astype(i32)]),
                 f1.astype(i32), f2.astype(i32),
-                jnp.stack([f3.astype(i32), f4.astype(i32),
-                           f5.astype(i32), n_pool.astype(i32),
-                           n_u.astype(i32)])])
+                jnp.stack([f4.astype(i32), f5.astype(i32),
+                           n_pool.astype(i32), n_u.astype(i32)])])
             blob_i = jnp.concatenate([
                 mrid2.astype(i32), mbeg.astype(i32), mend.astype(i32),
                 qb.astype(i32), ln.astype(i32), seed_cnt.astype(i32),
-                scalars])
+                bad, scalars])
             blob_d = jnp.concatenate([ms, rbeg])
             return blob_i, blob_d
 
@@ -288,7 +294,7 @@ class DeviceSeeder:
         rd = jnp.asarray(rlens)
         self.last_qd = qd
         self.last_L = L
-        pool, ok, rid, k, l, s, beg, end, ovf1, n_pool, n_u = \
+        pool, ok, rid, k, l, s, beg, end, ovf1, bad1, n_pool, n_u = \
             fns["r1"](qd, rd)
         r2 = fns["r2"](qd, rd, ok, rid, k, s, beg, end)
         r3 = fns["r3"](qd, rd)
@@ -299,8 +305,8 @@ class DeviceSeeder:
         rbeg, qb, ln, stotal, n_uniq, seed_cnt, sovf = seeds
         blob_i, blob_d = fns["pack"](mok, mrid, ms, mbeg, mend, mtotal,
                                      rbeg, qb, ln, stotal, n_uniq,
-                                     seed_cnt, ovf1, r2[7], r3[7], movf,
-                                     sovf, n_pool, n_u)
+                                     seed_cnt, ovf1, r2[7], bad1, r2[8],
+                                     r3[7], movf, sovf, n_pool, n_u)
 
         # ---- one sync point: pull the two packed result blobs
         blob_i, blob_d = jax.device_get((blob_i, blob_d))
@@ -314,14 +320,17 @@ class DeviceSeeder:
         qb_h = blob_i[off:off + SEEDCAP]; off += SEEDCAP
         ln_h = blob_i[off:off + SEEDCAP]; off += SEEDCAP
         seed_cnt_h = blob_i[off:off + R]; off += R
-        scal = blob_i[off:off + 15]
+        bad_h = blob_i[off:off + R]; off += R
+        scal = blob_i[off:off + 12]
         mtotal_h, stotal_h, n_uniq_h = scal[0], scal[1], scal[2]
-        oflags = scal[3:13]
-        npool_h, nu_h = int(scal[13]), int(scal[14])
+        oflags = scal[3:10]
+        npool_h, nu_h = int(scal[10]), int(scal[11])
         ms_h = blob_d[:MEMCAP]
         rbeg_h = blob_d[MEMCAP:MEMCAP + SEEDCAP]
 
         if oflags.any():
+            # chunk-global cap overflow (pool/walk/tasks/merge/seeds):
+            # rare, sized generously — whole chunk reruns exactly
             self.last_overflow = True
             self.last_qd = None      # meta engines must not reuse stale qd
             self.prof["overflow_flags"] = oflags.tolist()
@@ -349,6 +358,43 @@ class DeviceSeeder:
             stats.bwt_queries += npool_h
             stats.bwt_calls += nu_h
         self._mrows = None
+        bad_reads = np.nonzero(bad_h[:n_reads])[0]
+        if len(bad_reads):
+            mflat, moff, sflat, soff = self._splice_oracle(
+                queries, bad_reads, mflat, moff, sflat, soff)
+        return mflat, moff, sflat, soff
+
+    def _splice_oracle(self, queries, bad_reads, mflat, moff, sflat,
+                       soff):
+        """Per-read exactness fallback: reads whose per-read buffers
+        overflowed (LEP scan, round-2 task scan, round-3 hits) are
+        recomputed with the scalar oracle and spliced into the flat
+        output — the chunk keeps its device results."""
+        from compseed_tpu.pipeline import seeding as sd
+
+        bad = set(int(r) for r in bad_reads)
+        n_reads = len(queries)
+        mseg, sseg = [], []
+        for r in range(n_reads):
+            if r in bad:
+                m = sd.collect_matches(self.fm, self.opt, queries[r])
+                seeds = sd.sample_seeds(self.opt, m)
+                sd.resolve_sal(self.fm, [seeds])
+                mseg.append(np.array(
+                    [(beg, end, s) for (_, _, s, beg, end) in m],
+                    dtype=np.int64).reshape(-1, 3))
+                sseg.append(np.array(
+                    [(x.rbeg, x.qbeg, x.len) for x in seeds],
+                    dtype=np.int64).reshape(-1, 3))
+            else:
+                mseg.append(mflat[moff[r]:moff[r + 1]])
+                sseg.append(sflat[soff[r]:soff[r + 1]])
+        mflat = np.concatenate(mseg) if mseg else mflat[:0]
+        sflat = np.concatenate(sseg) if sseg else sflat[:0]
+        moff = np.zeros(n_reads + 1, np.int64)
+        np.cumsum([len(x) for x in mseg], out=moff[1:])
+        soff = np.zeros(n_reads + 1, np.int64)
+        np.cumsum([len(x) for x in sseg], out=soff[1:])
         return mflat, moff, sflat, soff
 
     # ------------------------------------------------------------------
@@ -372,7 +418,7 @@ class DeviceSeeder:
         fns = self._build(R, L)
         qd = jnp.asarray(qarr)
         rd = jnp.asarray(rlens)
-        pool, ok, rid, k, l, s, beg, end, ovf1, n_pool, n_u = \
+        pool, ok, rid, k, l, s, beg, end, ovf1, bad1, n_pool, n_u = \
             fns["r1"](qd, rd)
         r2 = fns["r2"](qd, rd, ok, rid, k, s, beg, end)
         r3 = fns["r3"](qd, rd)
@@ -383,11 +429,12 @@ class DeviceSeeder:
         rbeg, qb, ln, stotal, n_uniq, seed_cnt, sovf = seeds
         host = jax.device_get((mok, mrid, mk, ml, ms, mbeg, mend,
                                rbeg, qb, ln, stotal, seed_cnt,
-                               ovf1, r2[7], r3[7], movf, sovf))
+                               ovf1, bad1, r2[7], r2[8], r3[7], movf,
+                               sovf))
         (mok_h, mrid_h, mk_h, ml_h, ms_h, mbeg_h, mend_h,
          rbeg_h, qb_h, ln_h, stotal_h, seed_cnt_h,
-         o1, o2, o3, o4, o5) = host
-        if any(np.any(x) for x in (o1, o2, o3, o4, o5)):
+         o1, o2, o3, o4, o5, o6, o7) = host
+        if any(np.any(x) for x in (o1, o2, o3, o4, o5, o6, o7)):
             from compseed_tpu.ops.smem import BatchSeeder
             return BatchSeeder(opt or self.opt, self.fm, self.dfi)(
                 fm, opt or self.opt, queries, stats)

@@ -123,3 +123,25 @@ def test_seeder2_int64_index_path(tiny_fm):
     for r, q in enumerate(queries):
         want = seeding.collect_matches(tiny_fm, opt, q)
         assert got[r][0] == want, f"read {r}"
+
+
+def test_seeder2_per_read_fallback(tiny_fm):
+    """A read that overflows its per-read device buffers (a long read
+    pushes more LEPs than the scan cap) is recomputed with the oracle
+    and spliced in; the rest of the chunk keeps its device results."""
+    import numpy as np
+
+    opt = MemOptions()
+    queries = _fixture_queries(8)
+    rng = np.random.default_rng(3)
+    long_read = rng.integers(0, 4, 480).astype(np.uint8)  # LEPs >> CAPL
+    queries.insert(3, long_read)
+    sd = DeviceSeeder(opt, tiny_fm)
+    m2, mo2, s2, so2 = sd.run_flat(queries)
+    assert not sd.last_overflow  # chunk-global caps did NOT trip
+    for r, q in enumerate(queries):
+        want = seeding.collect_matches(tiny_fm, opt, q)
+        got = [tuple(int(x) for x in row)
+               for row in m2[mo2[r]:mo2[r + 1]]]
+        wall = [(beg, end, s) for (_, _, s, beg, end) in want]
+        assert got == wall, f"read {r}"
