@@ -143,14 +143,18 @@ def bwt_b0_batch(fm: DeviceFMIndex, k: jax.Array) -> jax.Array:
 def sa_batch(fm: DeviceFMIndex, k: jax.Array) -> jax.Array:
     """SA[k] per lane via masked inverse-Psi walk (bwt_sa, bwt.c:86-96).
 
-    The walk is at most sa_intv-1 steps; finished lanes idle under a mask.
+    The walk ends when the psi-orbit hits a sampled row — the step count
+    is unbounded in principle (geometric with mean ~sa_intv), so a while
+    loop is required; but an any()-condition while costs ~50 ms of
+    launch overhead PER ITERATION on this platform, so the condition is
+    checked only once per 2*sa_intv fully-masked steps.
     """
     dt = fm.dtype
     k = k.astype(dt)
     mask = fm.sa_intv - 1
     steps = jnp.zeros_like(k)
 
-    def body(state):
+    def body(_, state):
         k, steps = state
         active = (k & mask) != 0
         k_next = inv_psi_batch(fm, k)
@@ -158,9 +162,76 @@ def sa_batch(fm: DeviceFMIndex, k: jax.Array) -> jax.Array:
         steps = steps + active.astype(dt)
         return k, steps
 
-    def cond(state):
-        k, _ = state
-        return jnp.any((k & mask) != 0)
+    def seg(state):
+        return jax.lax.fori_loop(0, 2 * fm.sa_intv, body, state)
 
-    k, steps = jax.lax.while_loop(cond, body, (k, steps))
+    def cond(state):
+        kk, _ = state
+        return jnp.any((kk & mask) != 0)
+
+    k, steps = jax.lax.while_loop(cond, seg, (k, steps))
     return steps + fm.sa_sampled[k // fm.sa_intv]
+
+
+def sa_batch_compact(fm: DeviceFMIndex, k: jax.Array):
+    """sa_batch with staged compaction: the walk length is geometric
+    (mean ~sa_intv) with a long tail, so full-width lockstep pays the
+    max walk (~10x sa_intv) on every lane.  Walk a few steps full-width,
+    then argsort-compact the unfinished minority and continue narrow.
+
+    Returns (sa (N,), ovf) — ovf set if stragglers exceeded a stage cap
+    (caller falls back; caps leave ~8x headroom over the expected tail).
+    """
+    dt = fm.dtype
+    i32 = jnp.int32
+    N = k.shape[0]
+    mask = fm.sa_intv - 1
+
+    kk = k.astype(dt)
+    steps = jnp.zeros(N, dt)
+    slot = jnp.arange(N, dtype=i32)
+    alive = (kk & mask) != 0
+
+    out_steps = jnp.where(alive, jnp.zeros(N, dt), steps)
+    out_k = kk
+    ovf = jnp.asarray(False)
+
+    def run(kk, steps, alive, n_steps):
+        def body(_, st):
+            kk, steps, alive = st
+            k_next = inv_psi_batch(fm, kk)
+            kk2 = jnp.where(alive, k_next, kk)
+            steps2 = steps + alive.astype(dt)
+            alive2 = alive & ((kk2 & mask) != 0)
+            return kk2, steps2, alive2
+        return jax.lax.fori_loop(0, n_steps, body, (kk, steps, alive))
+
+    stages = ((1, fm.sa_intv), (4, 2 * fm.sa_intv), (16, 4 * fm.sa_intv),
+              (64, 0))
+    for div, n_steps in stages:
+        cap = max(N // div, 1)
+        if div > 1:
+            order = jnp.argsort(~alive, stable=True)
+            n_alive = jnp.sum(alive.astype(i32))
+            ovf = ovf | (n_alive > cap)
+            take = order[:cap]
+            kk = kk[take]
+            steps = steps[take]
+            alive = alive[take]
+            slot = slot[take]
+        if n_steps == 0:
+            def seg(st):
+                return run(*st, 2 * fm.sa_intv)
+            kk, steps, alive = jax.lax.while_loop(
+                lambda st: jnp.any(st[2]), seg, (kk, steps, alive))
+        else:
+            kk, steps, alive = run(kk, steps, alive, n_steps)
+        done = ~alive & (slot >= 0)
+        sl = jnp.where(done, slot, N)
+        out_steps = out_steps.at[sl].set(jnp.where(done, steps, 0),
+                                         mode="drop")
+        out_k = out_k.at[sl].set(jnp.where(done, kk, 0), mode="drop")
+        slot = jnp.where(done, -1, slot)
+
+    sa = out_steps + fm.sa_sampled[out_k // fm.sa_intv]
+    return sa, ovf

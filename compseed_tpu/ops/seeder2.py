@@ -233,7 +233,7 @@ class DeviceSeeder:
             uovf = n_uniq > UCAP
             uord = jnp.argsort(~head, stable=True)
             reps = jnp.where(head[uord], lsort[uord], 0)[:UCAP]
-            sa = dfm.sa_batch(fm, reps)
+            sa, wovf = dfm.sa_batch_compact(fm, reps)
             # scatter resolved values back: sorted position -> rep index
             ridx = jnp.cumsum(head.astype(i32)) - 1
             sa_sorted = sa[jnp.clip(ridx, 0, UCAP - 1)]
@@ -243,7 +243,8 @@ class DeviceSeeder:
             ln = jnp.where(v, end[midx] - beg[midx], 0).astype(i32)
             seed_rid = jnp.where(v, rid[midx], 0)
             seed_cnt = jnp.zeros(R, i32).at[seed_rid].add(v.astype(i32))
-            return (rbeg, qb, ln, total, n_uniq, seed_cnt, sovf | uovf)
+            return (rbeg, qb, ln, total, n_uniq, seed_cnt,
+                    sovf | uovf | wovf)
 
         @jax.jit
         def j_pack(mok, mrid, ms, mbeg, mend, mtotal, rbeg, qb, ln,

@@ -133,7 +133,12 @@ def _scan_one(fm: DeviceFMIndex, L: int, capl: int, advance: bool,
         return dict(pivot=pivot, i=i, phase=phase, ik=ik, end=end, lep=lep,
                     cnt=cnt, ovf=ovf, done=done)
 
-    st = jax.lax.while_loop(lambda s: ~s["done"], body, st)
+    # segmented while (see walk_stage): the all-done check only every
+    # 8 fully-masked steps
+    def seg(st):
+        return jax.lax.fori_loop(0, 8, lambda _, x: body(x), st)
+
+    st = jax.lax.while_loop(lambda s: ~s["done"], seg, st)
     return (st["lep"].reshape(-1),
             st["cnt"].astype(dt), st["ovf"].astype(dt))
 
@@ -189,11 +194,23 @@ def walk_stage(fm: DeviceFMIndex, qflat, L: int, max_steps: int, state):
         st["i"] = jnp.where(survive, i - 1, i)
         return t + 1, st
 
+    # segmented loop: the while condition's any() reduction costs ~50 ms
+    # of launch overhead per iteration on this platform, so check it only
+    # every SEG masked steps
+    SEG = 8
+
+    def seg_body(carry):
+        t, st = carry
+        def inner(_, c):
+            return body(c)
+        return jax.lax.fori_loop(0, SEG, inner, (t, st))
+
     def cond(carry):
         t, st = carry
         return (t < max_steps) & jnp.any(st["alive"])
 
-    _, st = jax.lax.while_loop(cond, body, (jnp.asarray(0, i32), state))
+    _, st = jax.lax.while_loop(cond, seg_body,
+                               (jnp.asarray(0, i32), state))
     return st
 
 
