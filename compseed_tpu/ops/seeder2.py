@@ -112,7 +112,8 @@ class DeviceSeeder:
                 # per (interval, pivot, prefix) state, scatter the result
                 # to every duplicate (the SST hit, comp_seed.cpp:2265)
                 ph = ss.prefix_hashes(qarr)
-                rep_pool, group, n_u, dovf = ss.dedup_pool(pool, ph, CAP_U)
+                rep_pool, group, n_u, dovf, _ = ss.dedup_pool(pool, ph,
+                                                              CAP_U)
                 death_r, fk_r, fl_r, fs_r, wovf = ss.walk_pool(
                     fm, qflat, L, rep_pool, stages_u)
                 death = death_r[group]
@@ -155,6 +156,10 @@ class DeviceSeeder:
             pool2 = pool2.at[:, 5].set(t_rid[tix].astype(dt))
             pool2 = jnp.concatenate([pool2, tix[:, None].astype(dt)],
                                     axis=1)
+            # NB: round-2 walks are NOT deduplicated — the extra sort
+            # pipeline made the j_round2 XLA module's compile time
+            # pathological (>25 min) for a modest saving; round 1 carries
+            # the compressive reuse
             death2, fk2, fl2, fs2, wovf2 = ss.walk_pool(
                 fm, qflat, L, pool2, stages2, mh=t_mh[tix])
             ok2, rid2, k2, l2, s2, beg2, end2 = ss.reconstruct(

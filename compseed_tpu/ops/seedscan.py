@@ -372,9 +372,10 @@ def prefix_hashes(qarr):
     return h
 
 
-def dedup_pool(pool, ph, CAP_U: int):
+def dedup_pool(pool, ph, CAP_U: int, mh=None):
     """Group pool rows whose walks must be identical; compact one
-    representative per group to the front.
+    representative per group to the front.  mh (per-row min_hits) joins
+    the key when walks use varying thresholds (round 2).
 
     Returns (rep_pool (CAP_U, 7), group (GP,) i32 mapping each row to its
     representative, n_unique, ovf).
@@ -387,6 +388,9 @@ def dedup_pool(pool, ph, CAP_U: int):
     hrow = jnp.where(piv > 0,
                      ph[rid, jnp.clip(piv - 1, 0, ph.shape[1] - 1)],
                      jnp.uint64(0))
+    if mh is not None:
+        hrow = hrow ^ (mh.astype(jnp.uint64) *
+                       jnp.uint64(0x9E3779B97F4A7C15))
     big = jnp.iinfo(jnp.int64).max
     k_key = jnp.where(valid, pool[:, 0].astype(jnp.int64), big)
     s_key = jnp.where(valid, pool[:, 2].astype(jnp.int64), big)
@@ -411,4 +415,4 @@ def dedup_pool(pool, ph, CAP_U: int):
     sortpos = jnp.zeros(GP, i32).at[order].set(
         jnp.arange(GP, dtype=i32))
     group = jnp.clip(gidx_sorted[sortpos], 0, CAP_U - 1)
-    return rep_pool, group, n_u, ovf
+    return rep_pool, group, n_u, ovf, rep_take
