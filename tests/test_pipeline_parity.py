@@ -72,3 +72,38 @@ def test_sam_parity_reordered(tiny_fm):
 def test_sam_header(tiny_fm):
     hdr = sam_header(tiny_fm).splitlines(keepends=True)
     assert hdr == _golden_header("golden_bwamem.sam")
+
+
+@pytest.mark.slow
+def test_chunk_size_determinism(tiny_fm):
+    """-K reproducibility contract (main.cpp:183,266): SE results must
+    not depend on how the input is chunked."""
+    import numpy as np
+    from compseed_tpu.io.fastq import read_fastq_chunks
+    from compseed_tpu.native import NativeTail
+    from compseed_tpu.ops.engine import device_engine, device_seeder
+    from compseed_tpu.pipeline.align import align_chunk
+    from tests.conftest import FIXTURES
+    import os
+
+    opt = MemOptions()
+    reads_all = []
+    for chunk in read_fastq_chunks(os.path.join(FIXTURES, "reads.fq"),
+                                   10_000_000):
+        reads_all.extend(chunk)
+    reads_all = reads_all[:300]
+
+    def run(chunk_len):
+        import copy
+        rs = copy.deepcopy(reads_all)
+        seeder = device_seeder(opt, tiny_fm)
+        engine = device_engine(opt, tiny_fm, dfi=seeder.dfi)
+        tail = NativeTail(opt, tiny_fm)
+        for s in range(0, len(rs), chunk_len):
+            align_chunk(opt, tiny_fm, rs[s:s + chunk_len], s,
+                        engine=engine, seeder=seeder, tail=tail)
+        return [r.sam for r in rs]
+
+    a = run(300)
+    b = run(128)
+    assert a == b
