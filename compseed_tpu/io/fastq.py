@@ -7,7 +7,6 @@ per line, names are running integers starting at 1.
 
 from __future__ import annotations
 
-import gzip
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -22,14 +21,11 @@ class Read:
 
 
 def _opener(path: str):
-    """Transparent open: plain, gzip, or '-' for stdin (kopen semantics,
-    bwalib/kopen.c:268-336; http/ftp sources are out of scope here)."""
-    if path == "-":
-        import sys
-        return sys.stdin
-    with open(path, "rb") as probe:
-        magic = probe.read(2)
-    return gzip.open(path, "rt") if magic == b"\x1f\x8b" else open(path, "rt")
+    """Transparent open: plain/gzip file, '-' stdin, '<cmd' pipe, http://
+    and ftp:// URLs (kopen semantics, bwalib/kopen.c:268-336)."""
+    from compseed_tpu.io.kopen import kopen_text
+
+    return kopen_text(path)
 
 
 def _trim_readno(name: str) -> str:
