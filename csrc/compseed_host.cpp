@@ -408,29 +408,136 @@ static i32 chain_weight(const ChainC& c) {  // :205
     return std::min(w, (i32)((1 << 30) - 1));
 }
 
-// chaining over a pos-sorted vector; lookup = rightmost chain at or below
-// the seed position (kb_intervalp semantics, cstl/kbtree.h:152)
+// Faithful replica of the reference's chain B-tree (cstl/kbtree.h,
+// KBTREE_INIT(chn, mem_chain_t, chain_cmp)).  Its internals are
+// OUTPUT-VISIBLE, so an ordered-map approximation is not equivalent:
+//  * kb_putp inserts an equal-pos key right after the FIRST equal key,
+//    so duplicates sit in [first, then LIFO] order within a node;
+//  * kb_intervalp's lower bound lands on whichever duplicate is
+//    node-resident closest below the probe — which chain a seed is
+//    tested against (test_and_merge) depends on that identity;
+//  * the final chain array is the tree's in-order traversal;
+//  * node capacity comes from KB_DEFAULT_SIZE=512 over the 40-byte
+//    mem_chain_t: t = ((512-4-8)/(8+40)+1)>>1 = 5, so splits (which
+//    reshuffle duplicate groups across nodes) happen from 10 chains up.
+struct KbTreeChn {
+    static const int T = 5;  // see derivation above
+    struct Key { i64 pos; i32 idx; };
+    struct Node { int is_internal, n; Key key[2 * T - 1];
+                  Node* ptr[2 * T]; };
+    Node* root;
+    KbTreeChn() { root = alloc(0); }
+    ~KbTreeChn() { del(root); }
+    static Node* alloc(int internal) {
+        Node* x = (Node*)calloc(1, sizeof(Node));
+        x->is_internal = internal;
+        return x;
+    }
+    static void del(Node* x) {
+        if (!x) return;
+        if (x->is_internal)
+            for (int i = 0; i <= x->n; ++i) del(x->ptr[i]);
+        free(x);
+    }
+    static int cmp(i64 a, i64 b) { return (b < a) - (a < b); }
+    // __kb_getp_aux (kbtree.h:118-131), binary-search variant
+    static int getp_aux(const Node* x, i64 pos, int* r) {
+        int tr, *rr = r ? r : &tr, begin = 0, end = x->n;
+        if (x->n == 0) return -1;
+        while (begin < end) {
+            int mid = (begin + end) >> 1;
+            if (cmp(x->key[mid].pos, pos) < 0) begin = mid + 1;
+            else end = mid;
+        }
+        if (begin == x->n) { *rr = 1; return x->n - 1; }
+        if ((*rr = cmp(pos, x->key[begin].pos)) < 0) --begin;
+        return begin;
+    }
+    // kb_intervalp's lower result (kbtree.h:152-167)
+    const Key* intervalp(i64 pos) const {
+        int r = 0;
+        const Node* x = root;
+        const Key* lower = nullptr;
+        while (x) {
+            int i = getp_aux(x, pos, &r);
+            if (i >= 0 && r == 0) return &x->key[i];
+            if (i >= 0) lower = &x->key[i];
+            if (!x->is_internal) return lower;
+            x = x->ptr[i + 1];
+        }
+        return lower;
+    }
+    void split(Node* x, int i, Node* y) {  // __kb_split (:175-190)
+        Node* z = alloc(y->is_internal);
+        z->n = T - 1;
+        memcpy(z->key, y->key + T, sizeof(Key) * (T - 1));
+        if (y->is_internal) memcpy(z->ptr, y->ptr + T,
+                                   sizeof(Node*) * T);
+        y->n = T - 1;
+        memmove(x->ptr + i + 2, x->ptr + i + 1,
+                sizeof(Node*) * (x->n - i));
+        x->ptr[i + 1] = z;
+        memmove(x->key + i + 1, x->key + i, sizeof(Key) * (x->n - i));
+        x->key[i] = y->key[T - 1];
+        ++x->n;
+    }
+    void putp_aux(Node* x, Key k) {  // __kb_putp_aux (:192-209)
+        int i;
+        if (!x->is_internal) {
+            i = getp_aux(x, k.pos, nullptr);
+            if (i != x->n - 1)
+                memmove(x->key + i + 2, x->key + i + 1,
+                        (x->n - i - 1) * sizeof(Key));
+            x->key[i + 1] = k;
+            ++x->n;
+        } else {
+            i = getp_aux(x, k.pos, nullptr) + 1;
+            if (x->ptr[i]->n == 2 * T - 1) {
+                split(x, i, x->ptr[i]);
+                if (cmp(k.pos, x->key[i].pos) > 0) ++i;
+            }
+            putp_aux(x->ptr[i], k);
+        }
+    }
+    void put(i64 pos, i32 idx) {  // kb_putp (:211-223)
+        if (root->n == 2 * T - 1) {
+            Node* r0 = root;
+            root = alloc(1);
+            root->ptr[0] = r0;
+            split(root, 0, r0);
+        }
+        putp_aux(root, Key{pos, idx});
+    }
+    void traverse(const Node* x, vector<i32>* out) const {
+        if (!x) return;
+        for (int i = 0; i <= x->n; ++i) {
+            if (x->is_internal) traverse(x->ptr[i], out);
+            if (i < x->n) out->push_back(x->key[i].idx);
+        }
+    }
+};
+
+// chaining (mem_chain, bwamem.c:359-435 == comp_seed.cpp:241-295)
 static void build_chains(Batch* B, ReadState* rs,
                          const i64* matches, i64 n_matches,
                          const i64* seeds, i64 n_seeds) {
     const CsOpt& o = B->opt;
     int l_query = (int)rs->query.size();
     if (l_query < o.min_seed_len) return;
-    vector<i64> positions;
-    auto& chains = rs->chains;
+    KbTreeChn tree;
+    int n_chains = 0;
+    vector<ChainC> built;  // in insertion order; reordered by traversal
     for (i64 si = 0; si < n_seeds; ++si) {
         SeedC s{seeds[3 * si], (i32)seeds[3 * si + 1],
                 (i32)seeds[3 * si + 2], (i32)seeds[3 * si + 2], -1};
         int rid = B->ref.intv2rid(s.rbeg, s.rbeg + s.len);
         if (rid < 0) continue;
-        bool to_add = chains.empty();
+        bool to_add = n_chains == 0;
         if (!to_add) {
-            auto it = std::upper_bound(positions.begin(), positions.end(),
-                                       s.rbeg);
-            int ci = (int)(it - positions.begin()) - 1;
+            const KbTreeChn::Key* lower = tree.intervalp(s.rbeg);
             bool merged = false;
-            if (ci >= 0) {  // test_and_merge (:182)
-                ChainC& c = chains[ci];
+            if (lower) {  // test_and_merge (:182-203)
+                ChainC& c = built[lower->idx];
                 const SeedC& last = c.seeds.back();
                 i64 qend = last.qbeg + last.len, rend = last.rbeg + last.len;
                 if (rid == c.rid) {
@@ -458,13 +565,15 @@ static void build_chains(Batch* B, ReadState* rs,
             c.is_alt = B->ref.ann_is_alt[rid];
             c.frac_rep = 0.f; c.w = 0; c.kept = 0; c.first = -1;
             c.seeds.push_back(s);
-            auto it = std::upper_bound(positions.begin(), positions.end(),
-                                       s.rbeg);
-            int at = (int)(it - positions.begin());
-            positions.insert(positions.begin() + at, s.rbeg);
-            chains.insert(chains.begin() + at, std::move(c));
+            built.push_back(std::move(c));
+            tree.put(s.rbeg, n_chains++);
         }
     }
+    auto& chains = rs->chains;
+    vector<i32> order;
+    tree.traverse(tree.root, &order);
+    chains.reserve(order.size());
+    for (i32 idx : order) chains.push_back(std::move(built[idx]));
     // repetition fraction (:271)
     i64 beg = 0, end = 0, l_rep = 0;
     for (i64 mi = 0; mi < n_matches; ++mi) {
@@ -1707,6 +1816,17 @@ static int matesw(Batch* B, const PeStat pes[4], const RegC* a,
         int r = infer_dir(l_pac, a->rb, m.rb, &dist);
         if (dist >= pes[r].low && dist <= pes[r].high) skip[r] = 1;
     }
+    if (getenv("DUMP_PAIR")) {
+        fprintf(stderr, "MSW anchor rb=%lld score=%d skip=%d%d%d%d "
+                "pes2=[%d,%d]\n", (long long)a->rb, a->score, skip[0],
+                skip[1], skip[2], skip[3], pes[2].low, pes[2].high);
+        for (auto& m : mate->regs) {
+            i64 dist;
+            int r = infer_dir(l_pac, a->rb, m.rb, &dist);
+            fprintf(stderr, "  mate rb=%lld dir=%d dist=%lld\n",
+                    (long long)m.rb, r, (long long)dist);
+        }
+    }
     if (skip[0] + skip[1] + skip[2] + skip[3] == 4) return 0;
     for (int r = 0; r < 4; ++r) {
         if (skip[r]) continue;
@@ -1740,6 +1860,19 @@ static int matesw(Batch* B, const PeStat pes[4], const RegC* a,
                        (o.min_seed_len * o.a);
             KswR aln = ksw_align2_eq(l_ms, seq, (int)(re - rb), ref.data(),
                                      o, xtra);
+            if (getenv("DUMP_PAIR")) {
+                fprintf(stderr, "MSWX a_rb=%lld r=%d rb=%lld re=%lld "
+                        "score=%d qb=%d qe=%d tb=%d te=%d score2=%d\nQ ",
+                        (long long)a->rb, r, (long long)rb, (long long)re,
+                        aln.score, aln.qb, aln.qe, aln.tb, aln.te,
+                        aln.score2);
+                for (int z2 = 0; z2 < l_ms; ++z2)
+                    fputc("ACGTN"[seq[z2]], stderr);
+                fprintf(stderr, "\nT ");
+                for (i64 z2 = 0; z2 < re - rb; ++z2)
+                    fputc("ACGTN"[ref[z2]], stderr);
+                fputc('\n', stderr);
+            }
             if (aln.score >= o.min_seed_len && aln.qb >= 0) {
                 RegC b{};
                 b.rid = a->rid;
@@ -1794,6 +1927,10 @@ static int mem_pair_eq(Batch* B, const PeStat pes[4], ReadState* rs0,
     intro_sort((int)v.size(), v.data(), [](const P64& a, const P64& b) {
         return a.x < b.x || (a.x == b.x && a.y < b.y);
     });
+    if (getenv("DUMP_PAIR"))
+        for (size_t i = 0; i < v.size(); ++i)
+            fprintf(stderr, "V[%zu]\tx=%llx\ty=%llx\n", i,
+                    (unsigned long long)v[i].x, (unsigned long long)v[i].y);
     int y[4] = {-1, -1, -1, -1};
     for (size_t i = 0; i < v.size(); ++i) {
         for (int r = 0; r < 2; ++r) {
@@ -1814,6 +1951,10 @@ static int mem_pair_eq(Batch* B, const PeStat pes[4], ReadState* rs0,
                 u64 py = (u64)k << 32 | (u32)i;
                 u64 px = (u64)(u32)q << 32 |
                          (wang_hash64(py ^ (u64)id << 8) & 0xffffffffULL);
+                if (getenv("DUMP_PAIR"))
+                    fprintf(stderr, "U k=%d i=%zu q=%d dist=%lld px=%llx\n",
+                            k, i, q, (long long)dist,
+                            (unsigned long long)px);
                 u.push_back({px, py});
             }
         }
@@ -1853,6 +1994,18 @@ static int sam_pe(Batch* B, const PeStat pes[4], i64 id, ReadState* rs0,
     int n = 0, z[2] = {0, 0}, n_pri[2];
     i32 extra_flag = 1;
     AlnOut h[2];
+    if (getenv("DUMP_PAIR"))
+        for (int r = 0; r < 2; ++r)
+            for (size_t j = 0; j < rr[r]->regs.size(); ++j) {
+                const RegC& e = rr[r]->regs[j];
+                fprintf(stderr, "REG id=%lld r=%d j=%zu rb=%lld re=%lld "
+                        "qb=%d qe=%d score=%d truesc=%d sub=%d csub=%d "
+                        "w=%d seedcov=%d frac_rep=%.4f seedlen0=%d\n",
+                        (long long)id, r, j, (long long)e.rb,
+                        (long long)e.re, e.qb, e.qe, e.score, e.truesc,
+                        e.sub, e.csub, e.w, e.seedcov, e.frac_rep,
+                        e.seedlen0);
+            }
     if (!(o.flag & FLAG_NO_RESCUE)) {
         // snapshot both candidate lists BEFORE any rescue mutates regs
         vector<RegC> b[2];
@@ -2031,7 +2184,42 @@ void* cs_batch_create(const CsOpt* opt, const u8* pac, i64 l_pac,
                      match_off[r + 1] - match_off[r],
                      seed_flat + 3 * seed_off[r],
                      seed_off[r + 1] - seed_off[r]);
+        const char* dr = getenv("DUMP_READ");
+        if (dr && atoi(dr) == r) {
+            for (i64 mi = match_off[r]; mi < match_off[r + 1]; ++mi)
+                fprintf(stderr, "MATCH beg=%lld end=%lld occ=%lld\n",
+                        (long long)match_flat[3 * mi],
+                        (long long)match_flat[3 * mi + 1],
+                        (long long)match_flat[3 * mi + 2]);
+            for (i64 si = seed_off[r]; si < seed_off[r + 1]; ++si)
+                fprintf(stderr, "SEED rbeg=%lld qbeg=%lld len=%lld\n",
+                        (long long)seed_flat[3 * si],
+                        (long long)seed_flat[3 * si + 1],
+                        (long long)seed_flat[3 * si + 2]);
+            fprintf(stderr, "CHAINS read=%d n=%zu (pre-flt)\n", r,
+                    rs.chains.size());
+            for (size_t ci = 0; ci < rs.chains.size(); ++ci)
+                for (size_t sj = 0; sj < rs.chains[ci].seeds.size(); ++sj)
+                    fprintf(stderr, "  C%zu S%zu rbeg=%lld qbeg=%d len=%d"
+                            " score=%d\n", ci, sj,
+                            (long long)rs.chains[ci].seeds[sj].rbeg,
+                            rs.chains[ci].seeds[sj].qbeg,
+                            rs.chains[ci].seeds[sj].len,
+                            rs.chains[ci].seeds[sj].score);
+        }
         filter_chains(B->opt, &rs.chains);
+        if (dr && atoi(dr) == r) {
+            fprintf(stderr, "CHAINS read=%d n=%zu (post-flt)\n", r,
+                    rs.chains.size());
+            for (size_t ci = 0; ci < rs.chains.size(); ++ci)
+                for (size_t sj = 0; sj < rs.chains[ci].seeds.size(); ++sj)
+                    fprintf(stderr, "  C%zu S%zu rbeg=%lld qbeg=%d len=%d"
+                            " score=%d\n", ci, sj,
+                            (long long)rs.chains[ci].seeds[sj].rbeg,
+                            rs.chains[ci].seeds[sj].qbeg,
+                            rs.chains[ci].seeds[sj].len,
+                            rs.chains[ci].seeds[sj].score);
+        }
         filter_chained_seeds(B, &rs);
         emit_pairs(B, r);
     }
