@@ -16,6 +16,7 @@ target workload (26 LEPs, 5.6 matches, 5.6 seeds per 101 bp read).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -64,6 +65,8 @@ class DeviceSeeder:
         self.fm = fm
         self.dfi = dfi if dfi is not None else to_device(fm)
         self.dedup = dedup
+        self.r2_dedup = dedup and \
+            os.environ.get("COMPSEED_R2_DEDUP", "0") == "1"
         self._jits: dict = {}
         self.prof: dict = {}
         self.last_overflow = False
@@ -98,6 +101,9 @@ class DeviceSeeder:
         stages_u = [(CAP_U, 4), (CAP_U // 2, 10), (CAP_U // 4, 28),
                     (CAP_U // 8, 72), (CAP_U // 16, MAXW)]
         use_dedup = self.dedup
+        CAP_U2 = GP2 // 2
+        stages_u2 = [(CAP_U2, 6), (CAP_U2 // 2, 24), (CAP_U2 // 4, MAXW)]
+        r2_dedup = self.r2_dedup
 
         @jax.jit
         def j_round1(qarr, rlens):
@@ -156,12 +162,27 @@ class DeviceSeeder:
             pool2 = pool2.at[:, 5].set(t_rid[tix].astype(dt))
             pool2 = jnp.concatenate([pool2, tix[:, None].astype(dt)],
                                     axis=1)
-            # NB: round-2 walks are NOT deduplicated — the extra sort
-            # pipeline made the j_round2 XLA module's compile time
-            # pathological (>25 min) for a modest saving; round 1 carries
-            # the compressive reuse
-            death2, fk2, fl2, fs2, wovf2 = ss.walk_pool(
-                fm, qflat, L, pool2, stages2, mh=t_mh[tix])
+            # Round-2 walk dedup is gated by COMPSEED_R2_DEDUP=1: a first
+            # attempt showed pathological j_round2 compile time, but that
+            # measurement coincided with the TPU tunnel degrading, so the
+            # path is kept for a clean A/B (min_hits joins the group key;
+            # representatives carry their own thresholds via rep_take).
+            mh_rows = t_mh[tix].astype(i32)
+            if r2_dedup:
+                ph2 = ss.prefix_hashes(qarr)
+                rep2, group2, n_u2, dovf2, rep_take2 = ss.dedup_pool(
+                    pool2, ph2, CAP_U2, mh=mh_rows)
+                death_r, fk_r, fl_r, fs_r, wovf2 = ss.walk_pool(
+                    fm, qflat, L, rep2, stages_u2,
+                    mh=mh_rows[rep_take2])
+                death2 = death_r[group2]
+                fk2 = fk_r[group2]
+                fs2 = fs_r[group2]
+                fl2 = fl_r[group2] - rep2[group2, 1] + pool2[:, 1]
+                povf2 = povf2 | dovf2
+            else:
+                death2, fk2, fl2, fs2, wovf2 = ss.walk_pool(
+                    fm, qflat, L, pool2, stages2, mh=mh_rows)
             ok2, rid2, k2, l2, s2, beg2, end2 = ss.reconstruct(
                 pool2, death2, fk2, fl2, fs2, opt.min_seed_len, (7,))
             flags = jnp.stack([tovf, povf2, wovf2])   # chunk-global
