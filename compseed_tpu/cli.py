@@ -21,7 +21,7 @@ from compseed_tpu.index.build import build_index
 from compseed_tpu.index.fmindex import FMIndex
 from compseed_tpu.index.io import save_index
 from compseed_tpu.io.fastq import (read_fastq_chunks, read_reordered_chunks,
-                                   sniff_is_fastq)
+                                   sniff_open)
 from compseed_tpu.io.sam import sam_header
 from compseed_tpu.options import MemOptions
 from compseed_tpu.pipeline.align import align_chunk
@@ -166,13 +166,18 @@ def cmd_mem(argv: list[str]) -> int:
         opt.flag |= opts.MEM_F_NO_RESCUE
 
     pes_override = None
-    if args.insert_spec:  # fastmap.c:300-320 -I mean[,std[,max[,min]]]
+    if args.insert_spec:  # fastmap.c:266-283 -I mean[,std[,max[,min]]]
         parts = [float(x) for x in args.insert_spec.split(",")]
         avg = parts[0]
         std = parts[1] if len(parts) > 1 else avg * 0.1
-        high = parts[2] if len(parts) > 2 else int(avg + 4.0 * std + 0.499)
-        low = parts[3] if len(parts) > 3 else \
-            max(int(avg - 4.0 * std + 0.499), 1)
+        # the +0.499 rounding applies to explicit max/min too, and the
+        # low>=1 clamp precedes the explicit overrides (fastmap.c:273-279)
+        high = int(avg + 4.0 * std + 0.499)
+        low = max(int(avg - 4.0 * std + 0.499), 1)
+        if len(parts) > 2:
+            high = int(parts[2] + 0.499)
+        if len(parts) > 3:
+            low = int(parts[3] + 0.499)
         pes_override = []
         for d in range(4):
             if d == 1:  # FR only
@@ -218,7 +223,13 @@ def cmd_mem(argv: list[str]) -> int:
     engine = None
     seeder = None
     tail = None
-    is_fastq_in = args.reads2 is not None or sniff_is_fastq(args.reads)
+    # sniff ONCE on a single opened stream ('<cmd' pipes / URLs must not
+    # be re-opened); the stream with the sniffed byte pushed back is what
+    # the reader consumes
+    if args.reads2 is not None:
+        is_fastq_in, reads_stream = True, args.reads
+    else:
+        is_fastq_in, reads_stream = sniff_open(args.reads)
     if args.engine == "device":
         from compseed_tpu.ops.engine import device_engine, device_seeder
         # compressor-reordered raw input: batches share backward-search
@@ -233,11 +244,10 @@ def cmd_mem(argv: list[str]) -> int:
         args.chunk_bases > 0 else opt.chunk_size * opt.n_threads
     if args.reads2:
         from compseed_tpu.io.fastq import read_fastq_pair_chunks
-        reader = lambda path, cb: read_fastq_pair_chunks(
-            path, args.reads2, cb)
+        reader = lambda src, cb: read_fastq_pair_chunks(
+            src, args.reads2, cb)
     else:
-        reader = read_fastq_chunks if sniff_is_fastq(args.reads) \
-            else read_reordered_chunks
+        reader = read_fastq_chunks if is_fastq_in else read_reordered_chunks
     # 3-stage pipeline: reader thread | align (this thread) | writer
     # thread — the kt_pipeline(2, process, 3) overlap of main.cpp:438 with
     # the same ordered-output guarantee (single aligner, FIFO queues).
@@ -249,7 +259,7 @@ def cmd_mem(argv: list[str]) -> int:
 
     def _reader():
         try:
-            for chunk in reader(args.reads, chunk_bases):
+            for chunk in reader(reads_stream, chunk_bases):
                 q_in.put(chunk)
         finally:
             q_in.put(None)

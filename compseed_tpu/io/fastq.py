@@ -28,15 +28,66 @@ def _opener(path: str):
     return kopen_text(path)
 
 
+def _as_stream(src):
+    """Accept either a path or an already-open text stream (single-open
+    contract: '<cmd' pipes / URLs must not be re-opened per consumer)."""
+    return _opener(src) if isinstance(src, str) else src
+
+
+class _PushbackText:
+    """Text stream replaying ``head`` before ``base`` — the gzungetc
+    equivalent used by the format sniff (main.cpp:399-406)."""
+
+    def __init__(self, head: str, base):
+        self._head = head
+        self._base = base
+
+    def readline(self) -> str:
+        if self._head:
+            line, self._head = self._head + self._base.readline(), ""
+            return line
+        return self._base.readline()
+
+    def read(self, n: int = -1) -> str:
+        if self._head:
+            if n is None or n < 0:
+                data, self._head = self._head + self._base.read(), ""
+                return data
+            take, self._head = self._head[:n], self._head[n:]
+            if len(take) < n:
+                take += self._base.read(n - len(take))
+            return take
+        return self._base.read(n)
+
+    def __iter__(self):
+        while True:
+            line = self.readline()
+            if not line:
+                return
+            yield line
+
+    def close(self) -> None:
+        self._base.close()
+
+
+def sniff_open(path: str):
+    """Open once, sniff the first character, and return
+    ``(is_fastq, stream)`` with the character pushed back — so pipe/URL
+    inputs are consumed exactly once (kopen only opens one stream)."""
+    f = _opener(path)
+    first = f.read(1)
+    return first == "@", _PushbackText(first, f)
+
+
 def _trim_readno(name: str) -> str:
     if len(name) > 2 and name[-2] == "/" and name[-1].isdigit():
         return name[:-2]
     return name
 
 
-def read_fastq_chunks(path: str, chunk_size: int) -> Iterator[list[Read]]:
+def read_fastq_chunks(path, chunk_size: int) -> Iterator[list[Read]]:
     """Yield chunks of reads totalling >= chunk_size bases (even count)."""
-    f = _opener(path)
+    f = _as_stream(path)
     batch: list[Read] = []
     size = 0
     while True:
@@ -69,9 +120,9 @@ def read_fastq_chunks(path: str, chunk_size: int) -> Iterator[list[Read]]:
     f.close()
 
 
-def read_reordered_chunks(path: str, chunk_size: int) -> Iterator[list[Read]]:
+def read_reordered_chunks(path, chunk_size: int) -> Iterator[list[Read]]:
     """Raw reordered reads: one sequence per line, integer names from 1."""
-    f = _opener(path)
+    f = _as_stream(path)
     batch: list[Read] = []
     size = 0
     counter = 1

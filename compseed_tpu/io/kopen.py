@@ -54,6 +54,38 @@ class _PrependStream(io.RawIOBase):
             super().close()
 
 
+class _ProcStream(io.RawIOBase):
+    """Pipe stdout reader that retains the Popen: on close, reap the child
+    and surface a non-zero exit code (the reference's pclose-equivalent at
+    kopen.c:355-370 waits on the worker process)."""
+
+    def __init__(self, proc: subprocess.Popen, cmd: str):
+        self._proc = proc
+        self._cmd = cmd
+
+    def readable(self) -> bool:
+        return True
+
+    def readinto(self, b) -> int:
+        data = self._proc.stdout.read(len(b))
+        if not data:
+            return 0
+        b[: len(data)] = data
+        return len(data)
+
+    def close(self) -> None:
+        if self.closed:
+            return
+        try:
+            self._proc.stdout.close()
+            rc = self._proc.wait()
+            if rc != 0:
+                print(f"[W::kopen] command {self._cmd!r} exited with "
+                      f"status {rc}", file=sys.stderr)
+        finally:
+            super().close()
+
+
 def _needs_shell(cmd: str) -> bool:
     """kopen.c:292-295 — any punctuation beyond ``. _ - :`` implies shell
     metacharacters (pipes, redirects, quotes) and routes through /bin/sh."""
@@ -78,7 +110,7 @@ def kopen(path: str):
             proc = subprocess.Popen(cmd, shell=True, stdout=subprocess.PIPE)
         else:
             proc = subprocess.Popen(shlex.split(cmd), stdout=subprocess.PIPE)
-        return proc.stdout
+        return io.BufferedReader(_ProcStream(proc, cmd))
     return open(path, "rb")
 
 

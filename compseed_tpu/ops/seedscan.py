@@ -358,18 +358,27 @@ def prefix_hashes(qarr):
     prefix-hash) identifies a walk's full outcome across the batch —
     the cross-read state sharing the reference gets from its SST trie
     (mapping/SST.h:60-92), here as a sort/unique over the worklist.
+
+    The returned array is (R, L, 2): two independent 64-bit rolling
+    hashes, giving a 128-bit effective key — wide enough that a silent
+    collision (which would merge distinct walks and corrupt seeds) has
+    negligible probability at any batch scale.
     """
-    B = jnp.uint64(0x100000001B3)            # FNV-ish odd multiplier
-    a = (qarr.astype(jnp.uint64) + 1)
-    m = jnp.full(qarr.shape, B, jnp.uint64)
 
     def comb(x, y):
         m1, a1 = x
         m2, a2 = y
         return m1 * m2, a1 * m2 + a2
 
-    _, h = jax.lax.associative_scan(comb, (m, a), axis=1)
-    return h
+    def one(base: int, salt: int):
+        a = (qarr.astype(jnp.uint64) + jnp.uint64(salt))
+        m = jnp.full(qarr.shape, jnp.uint64(base), jnp.uint64)
+        _, h = jax.lax.associative_scan(comb, (m, a), axis=1)
+        return h
+
+    h1 = one(0x100000001B3, 1)               # FNV-ish odd multiplier
+    h2 = one(0x9E3779B97F4A7C15, 5)          # golden-ratio odd multiplier
+    return jnp.stack([h1, h2], axis=-1)
 
 
 def dedup_pool(pool, ph, CAP_U: int, mh=None):
@@ -385,9 +394,9 @@ def dedup_pool(pool, ph, CAP_U: int, mh=None):
     valid = pool[:, 6] != 0
     rid = pool[:, 5].astype(i32)
     piv = pool[:, 4].astype(i32)
-    hrow = jnp.where(piv > 0,
-                     ph[rid, jnp.clip(piv - 1, 0, ph.shape[1] - 1)],
-                     jnp.uint64(0))
+    pcol = jnp.clip(piv - 1, 0, ph.shape[1] - 1)
+    hrow = jnp.where(piv > 0, ph[rid, pcol, 0], jnp.uint64(0))
+    hrow2 = jnp.where(piv > 0, ph[rid, pcol, 1], jnp.uint64(0))
     if mh is not None:
         hrow = hrow ^ (mh.astype(jnp.uint64) *
                        jnp.uint64(0x9E3779B97F4A7C15))
@@ -396,13 +405,16 @@ def dedup_pool(pool, ph, CAP_U: int, mh=None):
     s_key = jnp.where(valid, pool[:, 2].astype(jnp.int64), big)
     p_key = jnp.where(valid, piv.astype(jnp.int64), big)
     h_key = jnp.where(valid, hrow.astype(jnp.int64), big)
-    order = jnp.lexsort((p_key, s_key, k_key, h_key))
-    ks = [h_key[order], k_key[order], s_key[order], p_key[order]]
+    h2_key = jnp.where(valid, hrow2.astype(jnp.int64), big)
+    order = jnp.lexsort((p_key, s_key, k_key, h2_key, h_key))
+    ks = [h_key[order], k_key[order], s_key[order], p_key[order],
+          h2_key[order]]
     vs = valid[order]
     diff = jnp.concatenate([
         jnp.asarray([True]),
         (ks[0][1:] != ks[0][:-1]) | (ks[1][1:] != ks[1][:-1]) |
-        (ks[2][1:] != ks[2][:-1]) | (ks[3][1:] != ks[3][:-1])])
+        (ks[2][1:] != ks[2][:-1]) | (ks[3][1:] != ks[3][:-1]) |
+        (ks[4][1:] != ks[4][:-1])])
     head = vs & diff
     gidx_sorted = jnp.cumsum(head.astype(i32)) - 1     # group per sortpos
     n_u = jnp.sum(head.astype(i32))

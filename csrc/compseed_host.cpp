@@ -2352,6 +2352,12 @@ void cs_finalize_pe(void* h, i64 n_processed, const char* name_buf,
     vector<string> names(B->reads.size());
     for (size_t r = 0; r < B->reads.size(); ++r)
         names[r].assign(name_buf + name_off[r], name_buf + name_off[r + 1]);
+    // odd trailing read: the reference's n>>1 worker count (bwamem.c:1362)
+    // silently emits no record for it; we match that but warn on stderr
+    if (B->reads.size() & 1)
+        fprintf(stderr,
+                "[W::cs_finalize_pe] odd number of reads in PE batch; "
+                "the last read gets no alignment record\n");
     for (size_t r = 0; r + 1 < B->reads.size(); r += 2) {
         const char* nm[2] = {names[r].c_str(), names[r + 1].c_str()};
         const char* ql[2] = {nullptr, nullptr};
