@@ -158,6 +158,10 @@ def cmd_mem(argv: list[str]) -> int:
         opt.flag |= opts.MEM_F_KEEP_SUPP_MAPQ
     if args.smart_pe:
         opt.flag |= opts.MEM_F_PE | opts.MEM_F_SMARTPE
+        if args.reads2:  # fastmap.c:415
+            print("[W::mem] when '-p' is in use, the second query file is "
+                  "ignored.", file=sys.stderr)
+            args.reads2 = None
     if args.reads2:
         opt.flag |= opts.MEM_F_PE
     if args.skip_pairing:
@@ -300,7 +304,18 @@ def cmd_mem(argv: list[str]) -> int:
                   f"({state['n'] / (time.time() - t0):.0f} reads/s)",
                   file=sys.stderr)
 
-    if seeder is not None and tail is not None and \
+    if opt.flag & opts.MEM_F_SMARTPE:
+        # -p: classify each chunk into SE/PE groups (fastmap.c:107-127)
+        from compseed_tpu.pipeline.align import align_chunk_smart
+        n_processed = 0
+        for chunk in _chunks():
+            align_chunk_smart(opt, fm, chunk, n_processed, engine=engine,
+                              stats=stats, seeder=seeder, tail=tail,
+                              rg_id=rg_id, pes_override=pes_override,
+                              verbose=args.verbose)
+            n_processed += len(chunk)
+            _done(chunk)
+    elif seeder is not None and tail is not None and \
             hasattr(seeder, "run_flat"):
         # overlapped: device seeds chunk k+1 while the tail finishes k
         from compseed_tpu.pipeline.align import align_stream

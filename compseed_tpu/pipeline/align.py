@@ -30,13 +30,14 @@ def align_batch(opt: MemOptions, fm: FMIndex, reads: list[Read],
                 n_processed: int, engine=None,
                 stats: seeding.SeedingStats | None = None,
                 seeder=None, tail=None, rg_id: str = "",
-                pes_override=None) -> None:
+                pes_override=None, paired: bool | None = None) -> None:
     """Align reads[start:end] in place (fills .sam). ``n_processed`` is the
     global index of reads[0] (hash tie-breaking depends on it)."""
     if engine is None:
         engine = extension.oracle_engine(opt)
     queries = [encode_read(r.seq) for r in reads]
-    paired = bool(opt.flag & 0x2)  # MEM_F_PE
+    if paired is None:
+        paired = bool(opt.flag & 0x2)  # MEM_F_PE
 
     # fast path: flat seeder output straight into the native tail
     if seeder is not None and tail is not None and \
@@ -105,7 +106,7 @@ def align_chunk(opt: MemOptions, fm: FMIndex, reads: list[Read],
                 n_processed: int, engine=None,
                 stats: seeding.SeedingStats | None = None,
                 seeder=None, tail=None, rg_id: str = "",
-                pes_override=None) -> None:
+                pes_override=None, paired: bool | None = None) -> None:
     """Process one -K chunk.
 
     With the device seeder and native tail, the whole chunk runs as one
@@ -117,13 +118,60 @@ def align_chunk(opt: MemOptions, fm: FMIndex, reads: list[Read],
         # one batch per chunk: PE insert-size inference (mem_pestat) runs
         # over the whole chunk exactly like mem_process_seqs
         align_batch(opt, fm, reads, n_processed, engine, stats, seeder,
-                    tail, rg_id, pes_override=pes_override)
+                    tail, rg_id, pes_override=pes_override, paired=paired)
         return
     bs = opt.batch_size
     for start in range(0, len(reads), bs):
         batch = reads[start: start + bs]
         align_batch(opt, fm, batch, n_processed + start, engine, stats,
-                    seeder, tail, rg_id)
+                    seeder, tail, rg_id, paired=paired)
+
+
+def bseq_classify(reads: list[Read]) -> tuple[list[Read], list[Read]]:
+    """Split a mixed batch into (single-end, paired-end) groups: two
+    adjacent reads with the same (readno-trimmed) name form a pair
+    (bseq_classify, bwalib/bwa.c:113-129)."""
+    se: list[Read] = []
+    pe: list[Read] = []
+    has_last = True
+    n = len(reads)
+    for i in range(1, n):
+        if has_last:
+            if reads[i].name == reads[i - 1].name:
+                pe.append(reads[i - 1])
+                pe.append(reads[i])
+                has_last = False
+            else:
+                se.append(reads[i - 1])
+        else:
+            has_last = True
+    if has_last and n:
+        se.append(reads[n - 1])
+    return se, pe
+
+
+def align_chunk_smart(opt: MemOptions, fm: FMIndex, reads: list[Read],
+                      n_processed: int, engine=None, stats=None,
+                      seeder=None, tail=None, rg_id: str = "",
+                      pes_override=None, verbose: int = 3) -> None:
+    """MEM_F_SMARTPE (-p) chunk processing: classify interleaved/mixed
+    input into SE and PE groups and align each with the right pairing
+    mode — fastmap.c:107-127.  The SE group is processed first at
+    ``n_processed`` and the PE group at ``n_processed + n_se`` so the
+    hash_64(id) tie-breaks match the reference exactly."""
+    import sys
+
+    se, pe = bseq_classify(reads)
+    if verbose >= 3:
+        print(f"[M::align_chunk_smart] {len(se)} single-end sequences; "
+              f"{len(pe)} paired-end sequences", file=sys.stderr)
+    if se:
+        align_chunk(opt, fm, se, n_processed, engine, stats, seeder, tail,
+                    rg_id, paired=False)
+    if pe:
+        align_chunk(opt, fm, pe, n_processed + len(se), engine, stats,
+                    seeder, tail, rg_id, pes_override=pes_override,
+                    paired=True)
 
 
 def align_stream(opt: MemOptions, fm: FMIndex, chunk_iter, engine, seeder,

@@ -127,6 +127,19 @@ def main() -> None:
     with open(os.path.join(FIX, "reads.fq"), "w") as f:
         for i, r in enumerate(reads):
             f.write(f"@read{i}\n{r}\n+\n{'I' * len(r)}\n")
+
+    # mixed interleaved smart-PE input (-p): adjacent same-name records
+    # are pairs, the rest are orphans (bseq_classify, bwalib/bwa.c:113-129)
+    rngm = np.random.default_rng(123)
+    with open(os.path.join(FIX, "reads_mixed.fq"), "w") as f:
+        se_i = 0
+        for i, (r1, r2) in enumerate(pairs[:400]):
+            if rngm.random() < 0.25 and se_i < len(reads):
+                r = reads[se_i]
+                f.write(f"@orphan{se_i}\n{r}\n+\n{'I' * len(r)}\n")
+                se_i += 1
+            f.write(f"@pair{i}/1\n{r1}\n+\n{'I' * len(r1)}\n")
+            f.write(f"@pair{i}/2\n{r2}\n+\n{'I' * len(r2)}\n")
     # compressor-reordered raw format: one sequence per line, sorted so
     # similar reads are adjacent (what SPRING/Minicom/PgRC reordering does)
     with open(os.path.join(FIX, "reads.reordered"), "w") as f:
@@ -165,6 +178,16 @@ def main() -> None:
         with open(os.path.join(FIX, "golden_bwamem_pe.sam"), "w") as f:
             f.writelines(lines)
         print("wrote golden_bwamem_pe.sam", len(lines), "lines")
+        # smart-PE golden: bwamem -p over the mixed interleaved input
+        r = subprocess.run(
+            [bwamem, "-p", os.path.join(FIX, "tiny"),
+             os.path.join(FIX, "reads_mixed.fq")],
+            check=True, capture_output=True)
+        lines = [l for l in r.stdout.decode().splitlines(keepends=True)
+                 if not l.startswith("@PG")]
+        with open(os.path.join(FIX, "golden_bwamem_smartpe.sam"), "w") as f:
+            f.writelines(lines)
+        print("wrote golden_bwamem_smartpe.sam", len(lines), "lines")
     else:
         print("reference binaries not found; goldens not regenerated",
               file=sys.stderr)

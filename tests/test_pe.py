@@ -38,6 +38,58 @@ def test_pe_golden_parity(tiny_fm):
         assert m == g, f"record {i}:\n{m}\n{g}"
 
 
+@pytest.mark.slow
+def test_smartpe_golden_parity(tiny_fm):
+    """-p interleaved/mixed input: bseq_classify splits SE vs PE groups
+    (bwalib/bwa.c:113-129, fastmap.c:107-127); byte-identical to
+    ``bwamem -p`` on the mixed fixture."""
+    from compseed_tpu.native import NativeTail
+    from compseed_tpu.io.fastq import read_fastq_chunks
+    from compseed_tpu.options import MEM_F_SMARTPE
+    from compseed_tpu.pipeline.align import align_chunk_smart
+
+    opt = MemOptions()
+    opt.flag |= MEM_F_PE | MEM_F_SMARTPE
+    tail = NativeTail(opt, tiny_fm)
+    sams = []
+    n_processed = 0
+    for chunk in read_fastq_chunks(
+            os.path.join(FIXTURES, "reads_mixed.fq"), 10_000_000):
+        align_chunk_smart(opt, tiny_fm, chunk, n_processed, tail=tail,
+                          verbose=0)
+        n_processed += len(chunk)
+        sams.extend(r.sam for r in chunk)
+    mine = "".join(sams).splitlines(keepends=True)
+    golden = [l for l in
+              open(os.path.join(FIXTURES, "golden_bwamem_smartpe.sam"))
+              if not l.startswith("@")]
+    assert len(mine) == len(golden)
+    for i, (m, g) in enumerate(zip(mine, golden)):
+        assert m == g, f"record {i}:\n{m}\n{g}"
+
+
+def test_bseq_classify():
+    """Adjacent same-name reads pair; orphans stay single."""
+    from compseed_tpu.io.fastq import Read
+    from compseed_tpu.pipeline.align import bseq_classify
+
+    def mk(name):
+        return Read(name=name, seq="A", qual=None, comment=None)
+
+    reads = [mk("s0"), mk("p0"), mk("p0"), mk("s1"), mk("p1"), mk("p1"),
+             mk("s2")]
+    se, pe = bseq_classify(reads)
+    assert [r.name for r in se] == ["s0", "s1", "s2"]
+    assert [r.name for r in pe] == ["p0", "p0", "p1", "p1"]
+    # a name collision NOT at an adjacent position does not pair
+    se, pe = bseq_classify([mk("a"), mk("b"), mk("a")])
+    assert [r.name for r in se] == ["a", "b", "a"] and pe == []
+    # pair at the very front and a trailing orphan
+    se, pe = bseq_classify([mk("x"), mk("x"), mk("y")])
+    assert [r.name for r in pe] == ["x", "x"]
+    assert [r.name for r in se] == ["y"]
+
+
 def test_pe_insert_override(tiny_fm):
     """-I style pes override path produces records for every read."""
     from compseed_tpu.native import NativeTail
