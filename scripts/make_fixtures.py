@@ -112,6 +112,93 @@ def simulate_pairs(seq: str, seq2: str, n_pairs: int = 800):
     return pairs
 
 
+def make_alt_fixture() -> None:
+    """Genome with an ALT contig: ``pchr_alt`` is a mutated copy of a
+    primary slice, so reads from that region align to both and exercise
+    the ALT branches (is_alt mapq/XA/XR, ALT supplementary, -j).
+    The ``.alt`` file is the SAM-ish name list bns_restore consumes
+    (FM_index/bntseq.c:178-209)."""
+    rng = np.random.default_rng(555)
+    bases = np.array(list("ACGT"))
+    primary = "".join(rng.choice(bases, size=30_000))
+    alt = list(primary[10_000:16_000])
+    for j in range(len(alt)):           # ~0.5% divergence
+        if rng.random() < 0.005:
+            alt[j] = "ACGT"[int(rng.integers(0, 4))]
+    alt = "".join(alt)
+    fa = os.path.join(FIX, "tiny_alt.fa")
+    with open(fa, "w") as f:
+        for name, s in (("pchr", primary), ("pchr_alt", alt)):
+            f.write(f">{name}\n")
+            for i in range(0, len(s), 70):
+                f.write(s[i: i + 70] + "\n")
+    with open(os.path.join(FIX, "tiny_alt.alt"), "w") as f:
+        f.write("@SQ\tSN:pchr_alt\tLN:6000\n")    # '@' lines are skipped
+        f.write("pchr_alt\t4\tpchr\t10001\t255\t6000M\t*\t0\t0\t*\t*\n")
+
+    contigs = [primary, alt]
+    reads = []
+    for i in range(600):
+        src = contigs[int(rng.integers(0, 2))]
+        # bias onto the duplicated region so ALT logic actually fires
+        if src is primary and rng.random() < 0.7:
+            pos = int(rng.integers(9_500, 16_500 - READ_LEN))
+        else:
+            pos = int(rng.integers(0, len(src) - READ_LEN))
+        r = src[pos: pos + READ_LEN]
+        if rng.random() < 0.5:
+            r = r.translate(COMP)[::-1]
+        rl = list(r)
+        for j in range(READ_LEN):
+            if rng.random() < ERR_RATE:
+                rl[j] = "ACGT"[int(rng.integers(0, 4))]
+        reads.append("".join(rl))
+    with open(os.path.join(FIX, "reads_alt.fq"), "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@alt{i}\n{r}\n+\n{'I' * len(r)}\n")
+    pairs = []
+    for i in range(250):
+        src = contigs[int(rng.integers(0, 2))]
+        isize = max(READ_LEN + 10, int(rng.normal(300, 30)))
+        if src is primary and rng.random() < 0.7:
+            pos = int(rng.integers(9_500, 16_500 - isize))
+        else:
+            pos = int(rng.integers(0, len(src) - isize))
+        r1 = src[pos: pos + READ_LEN]
+        r2 = src[pos + isize - READ_LEN: pos + isize].translate(COMP)[::-1]
+        pairs.append((r1, r2))
+    with open(os.path.join(FIX, "reads_alt_1.fq"), "w") as f1, \
+            open(os.path.join(FIX, "reads_alt_2.fq"), "w") as f2:
+        for i, (r1, r2) in enumerate(pairs):
+            f1.write(f"@ap{i}/1\n{r1}\n+\n{'I' * len(r1)}\n")
+            f2.write(f"@ap{i}/2\n{r2}\n+\n{'I' * len(r2)}\n")
+
+    bwaidx = os.path.join(REF_BUILD, "bwaidx")
+    bwamem = os.path.join(REF_BUILD, "bwamem")
+    if not (os.path.exists(bwaidx) and os.path.exists(bwamem)):
+        print("reference binaries not found; ALT goldens not regenerated",
+              file=sys.stderr)
+        return
+    subprocess.run([bwaidx, "-p", os.path.join(FIX, "tiny_alt"), fa],
+                   check=True, capture_output=True)
+    runs = [
+        (["%s" % bwamem, os.path.join(FIX, "tiny_alt"),
+          os.path.join(FIX, "reads_alt.fq")], "golden_alt_se.sam"),
+        ([bwamem, "-j", os.path.join(FIX, "tiny_alt"),
+          os.path.join(FIX, "reads_alt.fq")], "golden_alt_j.sam"),
+        ([bwamem, os.path.join(FIX, "tiny_alt"),
+          os.path.join(FIX, "reads_alt_1.fq"),
+          os.path.join(FIX, "reads_alt_2.fq")], "golden_alt_pe.sam"),
+    ]
+    for cmd, out in runs:
+        r = subprocess.run(cmd, check=True, capture_output=True)
+        lines = [l for l in r.stdout.decode().splitlines(keepends=True)
+                 if not l.startswith("@PG")]
+        with open(os.path.join(FIX, out), "w") as f:
+            f.writelines(lines)
+        print("wrote", out, len(lines), "lines")
+
+
 def main() -> None:
     os.makedirs(FIX, exist_ok=True)
     fa = os.path.join(FIX, "tiny.fa")
@@ -191,6 +278,7 @@ def main() -> None:
     else:
         print("reference binaries not found; goldens not regenerated",
               file=sys.stderr)
+    make_alt_fixture()
     print("fixtures in", FIX)
 
 
