@@ -142,8 +142,15 @@ def sam_lines(text: str) -> list[str]:
     return [l for l in text.splitlines() if not l.startswith("@PG")]
 
 
-def run_trial(seed: int, workdir: str, keep: bool = False) -> list[str]:
-    """Returns a list of mismatch descriptions (empty = pass)."""
+def run_trial(seed: int, workdir: str, keep: bool = False,
+              read_len: int = 101, extra_opts: list[str] | None = None
+              ) -> list[str]:
+    """Returns a list of mismatch descriptions (empty = pass).
+
+    read_len chooses the jit shape bucket (101 reuses the suite's warm
+    bucket; 151+ exercises longer-read shapes at one extra compile).
+    extra_opts are appended to the randomly drawn option subset —
+    used by CI to force -x preset coverage."""
     from compseed_tpu import cli as cs_cli
     from compseed_tpu.index import build_index
     from compseed_tpu.index.io import save_index
@@ -173,14 +180,18 @@ def run_trial(seed: int, workdir: str, keep: bool = False) -> list[str]:
     if errors:
         return errors
 
-    # read_len fixed at 101 and read counts <=250: every trial lands in
+    # default read_len 101 and read counts <=250: every trial lands in
     # the same (R=256, L=128) jit bucket, so only the first fuzz trial
     # ever pays the (minutes-long, one-CPU-core) cold compile. Length
     # diversity is still exercised via too-short reads and indels.
-    read_len = 101
     paired = rng.random() < 0.35
     opts = list(rng.choice(OPT_POOL, size=int(rng.integers(0, 3)),
                            replace=False))
+    if extra_opts:
+        # drop random picks that collide with a forced option's flag
+        forced_flags = {o[:2] for o in extra_opts}
+        opts = [o for o in opts if o[:2] not in forced_flags] + \
+            list(extra_opts)
     if paired:
         pairs = gen_pairs(rng, contigs, int(rng.integers(60, 125)), read_len)
         fq1 = os.path.join(workdir, "r1.fq")

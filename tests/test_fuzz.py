@@ -1,8 +1,10 @@
-"""Quick differential fuzz trials vs the reference binaries.
+"""Differential fuzz trials vs the reference binaries (CI tier).
 
-Full campaign: python scripts/fuzz_parity.py N SEED. Here: two fixed
-seeds (one SE-shaped, one PE-shaped) that reuse the test suite's jit
-shapes, skipped when .ref_build is absent.
+Each trial generates an adversarial genome/read set, byte-compares the
+index against bwaidx and the SAM against bwamem/CompSeed (see
+scripts/fuzz_parity.py).  The CI tier runs a randomized batch: ten
+101 bp trials sharing one warm jit bucket, plus 151 bp and -x preset
+trials.  Full campaign: ``python scripts/fuzz_parity.py N SEED``.
 """
 
 import importlib.util
@@ -22,7 +24,20 @@ needs_ref = pytest.mark.skipif(
 
 @needs_ref
 @pytest.mark.slow
-@pytest.mark.parametrize("seed", [4242, 4247])
+@pytest.mark.parametrize("seed", list(range(4242, 4252)))
 def test_fuzz_trial(seed, tmp_path):
     errs = fuzz.run_trial(seed, str(tmp_path / f"fuzz{seed}"))
+    assert not errs, errs
+
+
+@needs_ref
+@pytest.mark.slow
+@pytest.mark.parametrize("seed,read_len,extra", [
+    (5001, 151, None),                 # >=151 bp shape bucket
+    (5002, 151, ["-xintractg"]),       # preset coverage at 151 bp
+    (5003, 151, ["-xpacbio"]),         # long-read scoring preset
+])
+def test_fuzz_trial_long(seed, read_len, extra, tmp_path):
+    errs = fuzz.run_trial(seed, str(tmp_path / f"fuzz{seed}"),
+                          read_len=read_len, extra_opts=extra)
     assert not errs, errs
