@@ -97,6 +97,9 @@ def cmd_mem(argv: list[str]) -> int:
     ap.add_argument("-I", type=str, default=None, dest="insert_spec")
     ap.add_argument("--engine", choices=["oracle", "device"],
                     default="oracle")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="shard the device pipeline over N chips "
+                         "(0 = single-device)")
     ap.add_argument("--tail", choices=["python", "native"],
                     default="native")
     ap.add_argument("-v", type=int, default=3, dest="verbose")
@@ -235,11 +238,26 @@ def cmd_mem(argv: list[str]) -> int:
     else:
         is_fastq_in, reads_stream = sniff_open(args.reads)
     if args.engine == "device":
-        from compseed_tpu.ops.engine import device_engine, device_seeder
-        # compressor-reordered raw input: batches share backward-search
-        # states heavily, so enable the cross-read walk dedup
-        seeder = device_seeder(opt, fm, dedup=not is_fastq_in)
-        engine = device_engine(opt, fm, dfi=getattr(seeder, "dfi", None))
+        if args.mesh > 0:
+            # multi-chip: the production pipeline shard_map'd over a
+            # data mesh (parallel/sharded.py)
+            import jax
+            import numpy as _np
+            from compseed_tpu.parallel.mesh import make_mesh
+            from compseed_tpu.parallel.sharded import (ShardedBswRunner,
+                                                       ShardedSeeder)
+            mesh = make_mesh(jax.devices()[:args.mesh])
+            seeder = ShardedSeeder(opt, fm, mesh=mesh,
+                                   dedup=not is_fastq_in)
+            engine = ShardedBswRunner(opt, _np.array(opt.mat), mesh=mesh,
+                                      dfi=seeder.dfi)
+        else:
+            from compseed_tpu.ops.engine import device_engine, device_seeder
+            # compressor-reordered raw input: batches share backward-
+            # search states heavily, so enable the cross-read walk dedup
+            seeder = device_seeder(opt, fm, dedup=not is_fastq_in)
+            engine = device_engine(opt, fm,
+                                   dfi=getattr(seeder, "dfi", None))
     if args.tail == "native":
         from compseed_tpu.native import NativeTail
         tail = NativeTail(opt, fm)

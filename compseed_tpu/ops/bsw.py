@@ -236,6 +236,7 @@ class BswRunner:
         self.max_sc = int(mat.max())
         self.dfi = dfi               # device index (pac) for the meta path
         self._qctx = None            # (qflat device array, L) per chunk
+        self._row_map = None         # read id -> qd row (sharded layout)
         if use_pallas is None:
             import jax
             use_pallas = jax.default_backend() != "cpu"
@@ -278,14 +279,18 @@ class BswRunner:
             jnp.asarray(tlp), jnp.asarray(h0p)))
         return tuple(out[j, :n].astype(np.int32) for j in range(6))
 
-    def set_query_context(self, qd, L: int = 0) -> None:
+    def set_query_context(self, qd, L: int = 0, row_map=None) -> None:
         """Per-chunk device read matrix for metadata-only pair transfer;
         call with None to clear (e.g. a chunk that fell back to the
-        legacy seeder has no device read matrix)."""
+        legacy seeder has no device read matrix).  ``row_map`` maps a
+        read id to its row in qd when the layout is not row==read id
+        (the sharded seeder packs reads shard-major)."""
         if qd is None:
             self._qctx = None
+            self._row_map = None
             return
         self._qctx = (qd.reshape(-1).astype(jnp.int8), L)
+        self._row_map = row_map
 
     @property
     def supports_meta(self) -> bool:
@@ -305,6 +310,9 @@ class BswRunner:
             z = np.zeros(0, np.int32)
             return (z,) * 6
         qflat, L = self._qctx
+        if getattr(self, "_row_map", None) is not None:
+            qmeta = qmeta.copy()
+            qmeta[:, 0] = self._row_map[qmeta[:, 0]]
         qlens = qmeta[:, 2].astype(np.int32)
         tlens = rmeta[:, 1].astype(np.int32)
         order = np.argsort(tlens, kind="stable")

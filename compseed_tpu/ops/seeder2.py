@@ -36,6 +36,43 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def unpack_blobs(blob_i: np.ndarray, blob_d: np.ndarray, R: int,
+                 MEMCAP: int, SEEDCAP: int, n_reads: int) -> dict:
+    """Decode one shard's packed (blob_i, blob_d) result pair (j_pack
+    layout) into host-side flats + counters.  Shared by the single-chip
+    and sharded paths."""
+    off = 0
+    mrid_h = blob_i[off:off + MEMCAP]; off += MEMCAP
+    mbeg_h = blob_i[off:off + MEMCAP]; off += MEMCAP
+    mend_h = blob_i[off:off + MEMCAP]; off += MEMCAP
+    qb_h = blob_i[off:off + SEEDCAP]; off += SEEDCAP
+    ln_h = blob_i[off:off + SEEDCAP]; off += SEEDCAP
+    seed_cnt_h = blob_i[off:off + R]; off += R
+    bad_h = blob_i[off:off + R]; off += R
+    scal = blob_i[off:off + 12]
+    mtotal_h, stotal_h, n_uniq_h = int(scal[0]), int(scal[1]), int(scal[2])
+    oflags = scal[3:10]
+    npool_h, nu_h = int(scal[10]), int(scal[11])
+    ms_h = blob_d[:MEMCAP]
+    rbeg_h = blob_d[MEMCAP:MEMCAP + SEEDCAP]
+
+    valid_m = mrid_h >= 0
+    mrid_v = mrid_h[valid_m][:mtotal_h]
+    mflat = np.stack([mbeg_h[valid_m], mend_h[valid_m],
+                      ms_h[valid_m]], axis=1).astype(np.int64)
+    moff = np.zeros(n_reads + 1, dtype=np.int64)
+    cnts = np.bincount(mrid_v, minlength=R)[:n_reads]
+    np.cumsum(cnts, out=moff[1:])
+    sflat = np.stack([rbeg_h[:stotal_h], qb_h[:stotal_h],
+                      ln_h[:stotal_h]], axis=1).astype(np.int64)
+    soff = np.zeros(n_reads + 1, dtype=np.int64)
+    np.cumsum(seed_cnt_h[:n_reads], out=soff[1:])
+    return dict(mflat=mflat, moff=moff, sflat=sflat, soff=soff,
+                oflags=oflags, bad=bad_h[:n_reads],
+                stotal=stotal_h, n_uniq=n_uniq_h,
+                npool=npool_h, n_u=nu_h)
+
+
 def _bucket(x: int, lo: int) -> int:
     b = lo
     while b < x:
@@ -296,8 +333,26 @@ class DeviceSeeder:
             blob_d = jnp.concatenate([ms, rbeg])
             return blob_i, blob_d
 
+        def whole(qd, rd):
+            """The full per-shard seeding program r1→pack as one traced
+            function — the unit the multi-chip path shard_maps over the
+            mesh (each device seeds its own read sub-batch with a
+            replicated index, like each kt_for thread owning a private
+            SST over its tile, comp_seed.cpp:2541-2548)."""
+            pool, ok, rid, k, l, s, beg, end, ovf1, bad1, n_pool, n_u = \
+                j_round1(qd, rd)
+            r2 = j_round2(qd, rd, ok, rid, k, s, beg, end)
+            r3 = j_round3(qd, rd)
+            merged = j_merge(ok, rid, k, l, s, beg, end, *r2[:7], *r3[:7])
+            mok, mrid, mk, ml, ms, mbeg, mend, mtotal, movf = merged
+            seeds = j_seeds(mok, mrid, mk, ms, mbeg, mend)
+            rbeg, qb, ln, stotal, n_uniq, seed_cnt, sovf = seeds
+            return j_pack(mok, mrid, ms, mbeg, mend, mtotal, rbeg, qb, ln,
+                          stotal, n_uniq, seed_cnt, ovf1, r2[7], bad1,
+                          r2[8], r3[7], movf, sovf, n_pool, n_u)
+
         fns = dict(r1=j_round1, r2=j_round2, r3=j_round3, merge=j_merge,
-                   seeds=j_seeds, pack=j_pack,
+                   seeds=j_seeds, pack=j_pack, whole=whole,
                    sizes=(GP, T2, GP2, MEMCAP, SEEDCAP, UCAP))
         self._jits[key] = fns
         return fns
@@ -340,52 +395,28 @@ class DeviceSeeder:
         self.prof["device_s"] = time.time() - t0
 
         _, _, _, MEMCAP, SEEDCAP, _ = fns["sizes"]
-        off = 0
-        mrid_h = blob_i[off:off + MEMCAP]; off += MEMCAP
-        mbeg_h = blob_i[off:off + MEMCAP]; off += MEMCAP
-        mend_h = blob_i[off:off + MEMCAP]; off += MEMCAP
-        qb_h = blob_i[off:off + SEEDCAP]; off += SEEDCAP
-        ln_h = blob_i[off:off + SEEDCAP]; off += SEEDCAP
-        seed_cnt_h = blob_i[off:off + R]; off += R
-        bad_h = blob_i[off:off + R]; off += R
-        scal = blob_i[off:off + 12]
-        mtotal_h, stotal_h, n_uniq_h = scal[0], scal[1], scal[2]
-        oflags = scal[3:10]
-        npool_h, nu_h = int(scal[10]), int(scal[11])
-        ms_h = blob_d[:MEMCAP]
-        rbeg_h = blob_d[MEMCAP:MEMCAP + SEEDCAP]
+        res = unpack_blobs(blob_i, blob_d, R, MEMCAP, SEEDCAP, n_reads)
 
-        if oflags.any():
+        if res["oflags"].any():
             # chunk-global cap overflow (pool/walk/tasks/merge/seeds):
             # rare, sized generously — whole chunk reruns exactly
             self.last_overflow = True
             self.last_qd = None      # meta engines must not reuse stale qd
-            self.prof["overflow_flags"] = oflags.tolist()
+            self.prof["overflow_flags"] = res["oflags"].tolist()
             from compseed_tpu.ops.smem import BatchSeeder
             legacy = BatchSeeder(opt, self.fm, self.dfi)
             return legacy.run_flat(queries, stats)
         self.last_overflow = False
 
-        mtotal_h = int(mtotal_h)
-        stotal_h = int(stotal_h)
-        valid_m = mrid_h >= 0
-        mrid_v = mrid_h[valid_m][:mtotal_h]
-        mflat = np.stack([mbeg_h[valid_m], mend_h[valid_m],
-                          ms_h[valid_m]], axis=1).astype(np.int64)
-        moff = np.zeros(n_reads + 1, dtype=np.int64)
-        cnts = np.bincount(mrid_v, minlength=R)[:n_reads]
-        np.cumsum(cnts, out=moff[1:])
-        sflat = np.stack([rbeg_h[:stotal_h], qb_h[:stotal_h],
-                          ln_h[:stotal_h]], axis=1).astype(np.int64)
-        soff = np.zeros(n_reads + 1, dtype=np.int64)
-        np.cumsum(seed_cnt_h[:n_reads], out=soff[1:])
         if stats is not None:
-            stats.sal_queries += stotal_h
-            stats.sal_calls += int(n_uniq_h)
-            stats.bwt_queries += npool_h
-            stats.bwt_calls += nu_h
+            stats.sal_queries += res["stotal"]
+            stats.sal_calls += res["n_uniq"]
+            stats.bwt_queries += res["npool"]
+            stats.bwt_calls += res["n_u"]
         self._mrows = None
-        bad_reads = np.nonzero(bad_h[:n_reads])[0]
+        mflat, moff, sflat, soff = (res["mflat"], res["moff"],
+                                    res["sflat"], res["soff"])
+        bad_reads = np.nonzero(res["bad"])[0]
         if len(bad_reads):
             mflat, moff, sflat, soff = self._splice_oracle(
                 queries, bad_reads, mflat, moff, sflat, soff)

@@ -1,0 +1,220 @@
+"""Multi-chip data parallelism for the PRODUCTION pipeline.
+
+The reference's parallel runtime is kt_for over 512-read tiles with one
+private SST pair per thread (cstl/kthread.c:51-63, comp_seed.cpp:2541-2548).
+The TPU-native equivalent here: each -K chunk is split into contiguous
+per-device read sub-batches, and the COMPLETE device seeding program
+(seeder2 rounds 1-3, match merge, compressive dedup, merged SAL) runs
+under ``jax.shard_map`` over a 1-D ``data`` mesh — the FM-index is
+replicated (read-only, like the shm-shared index of bwashm.c), reads and
+all intermediates are sharded, and the cross-read compressive sort/unique
+stages stay *within* each shard exactly as each reference thread's SST
+only spans its own tile.  The banded-SW DP rounds shard the pair batch
+the same way.
+
+Determinism: every per-read result is independent of the sharding (the
+compressive dedup only skips duplicate work, never changes results — the
+reference's own invariant, README.md:74-76), and the host tail consumes
+the re-assembled per-read flats in original read order, so the SAM is
+byte-identical across mesh shapes {1, 2, 4, 8, ...}; tests/test_parallel.py
+asserts this.  This is the `-K`-order merge contract of kt_pipeline
+(cstl/kthread.c:95-105) carried to a device mesh.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from compseed_tpu.ops import bsw as bsw_mod
+from compseed_tpu.ops.bsw import BswRunner, _bucket, _pack_rows
+from compseed_tpu.ops.seeder2 import (DeviceSeeder, _round_up,
+                                      unpack_blobs)
+from compseed_tpu.parallel.mesh import make_mesh
+
+
+class ShardedSeeder(DeviceSeeder):
+    """run_flat-compatible seeder running the full device seeding program
+    data-parallel over a mesh."""
+
+    def __init__(self, opt, fm, mesh: Mesh | None = None, dfi=None,
+                 dedup: bool = False):
+        super().__init__(opt, fm, dfi=dfi, dedup=dedup)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.S = int(self.mesh.devices.size)
+        self._sharded: dict = {}
+
+    def _build_sharded(self, R_shard: int, L: int):
+        key = (R_shard, L)
+        if key in self._sharded:
+            return self._sharded[key]
+        fns = self._build(R_shard, L)
+        step = jax.jit(jax.shard_map(
+            fns["whole"], mesh=self.mesh,
+            in_specs=(P("data", None), P("data")),
+            out_specs=(P("data"), P("data")),
+            check_vma=False))
+        self._sharded[key] = step
+        return step
+
+    def run_flat(self, queries, stats=None):
+        import time
+        n_reads = len(queries)
+        S = self.S
+        per = -(-n_reads // S)               # reads per shard (ceil)
+        R_shard = _bucket(max(per, 1), 256)
+        maxlen = max(len(q) for q in queries)
+        L = _round_up(maxlen + 1, 32)
+        qarr = np.full((S * R_shard, L), 4, dtype=np.uint8)
+        rlens = np.zeros(S * R_shard, dtype=np.int32)
+        row_map = np.zeros(max(n_reads, 1), dtype=np.int64)
+        for i, q in enumerate(queries):
+            s = i // per
+            row = s * R_shard + (i - s * per)
+            qarr[row, :len(q)] = q
+            rlens[row] = len(q)
+            row_map[i] = row
+        step = self._build_sharded(R_shard, L)
+        t0 = time.time()
+        qd = jnp.asarray(qarr)
+        rd = jnp.asarray(rlens)
+        self.last_qd = qd
+        self.last_L = L
+        self.last_row_map = row_map
+        blob_i, blob_d = jax.device_get(step(qd, rd))
+        self.prof["device_s"] = time.time() - t0
+
+        _, _, _, MEMCAP, SEEDCAP, _ = self._jits[(R_shard, L)]["sizes"]
+        BI = 3 * MEMCAP + 2 * SEEDCAP + 2 * R_shard + 12
+        BD = MEMCAP + SEEDCAP
+        blob_i = blob_i.reshape(S, BI)
+        blob_d = blob_d.reshape(S, BD)
+
+        self.last_overflow = False
+        msegs, ssegs = [], []      # one (mflat, moff)/(sflat, soff) per shard
+        for s in range(S):
+            lo = s * per
+            hi = min(lo + per, n_reads)
+            n_local = hi - lo
+            if n_local <= 0:
+                break
+            res = unpack_blobs(blob_i[s], blob_d[s], R_shard, MEMCAP,
+                               SEEDCAP, n_local)
+            sub = queries[lo:hi]
+            if res["oflags"].any():
+                # shard-level cap overflow: recompute just this shard's
+                # reads with the legacy exact seeder
+                self.last_overflow = True
+                self.prof["overflow_flags"] = res["oflags"].tolist()
+                from compseed_tpu.ops.smem import BatchSeeder
+                legacy = BatchSeeder(self.opt, self.fm, self.dfi)
+                mflat, moff, sflat, soff = legacy.run_flat(sub, stats)
+            else:
+                mflat, moff, sflat, soff = (res["mflat"], res["moff"],
+                                            res["sflat"], res["soff"])
+                bad_reads = np.nonzero(res["bad"])[0]
+                if len(bad_reads):
+                    mflat, moff, sflat, soff = self._splice_oracle(
+                        sub, bad_reads, mflat, moff, sflat, soff)
+                if stats is not None:
+                    stats.sal_queries += res["stotal"]
+                    stats.sal_calls += res["n_uniq"]
+                    stats.bwt_queries += res["npool"]
+                    stats.bwt_calls += res["n_u"]
+            msegs.append((mflat, moff))
+            ssegs.append((sflat, soff))
+        if self.last_overflow:
+            self.last_qd = None    # meta engines must not reuse stale qd
+
+        # deterministic re-assembly in original read order (shards are
+        # contiguous read ranges, so concatenation restores -K order)
+        mflat = np.concatenate([m for m, _ in msegs]) if msegs else \
+            np.zeros((0, 3), np.int64)
+        sflat = np.concatenate([x for x, _ in ssegs]) if ssegs else \
+            np.zeros((0, 3), np.int64)
+        moff = np.zeros(n_reads + 1, np.int64)
+        soff = np.zeros(n_reads + 1, np.int64)
+        pos = 0
+        mbase = sbase = 0
+        for (m, mo), (x, so) in zip(msegs, ssegs):
+            k = len(mo) - 1
+            moff[pos + 1: pos + k + 1] = mbase + mo[1:]
+            soff[pos + 1: pos + k + 1] = sbase + so[1:]
+            mbase += mo[-1]
+            sbase += so[-1]
+            pos += k
+        return mflat, moff, sflat, soff
+
+
+class ShardedBswRunner(BswRunner):
+    """Banded-SW engine sharding the pair batch over the mesh: one
+    shard_map'd DP program per (P, Q, T) bucket, each device scanning its
+    own pairs with its own early-exit trip count (the per-lane-class
+    batching of mem_chain2aln_across_reads_V2, comp_seed.cpp:1692-2126,
+    spread over chips instead of SIMD lanes)."""
+
+    def __init__(self, opt, mat: np.ndarray, mesh: Mesh | None = None,
+                 dfi=None):
+        # the XLA twin runs under shard_map on any backend; Pallas stays
+        # for the single-chip path (bsw_pallas kernels are per-device —
+        # composing them under shard_map is the real-pod config)
+        super().__init__(opt, mat, use_pallas=False, dfi=dfi)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.S = int(self.mesh.devices.size)
+        self._steps: dict = {}
+
+    def _step(self, Pb: int, Q: int, T: int, bonus: int):
+        key = (Pb, Q, T, bonus)
+        if key in self._steps:
+            return self._steps[key]
+        opt = self.opt
+
+        def run(mat, w_in, queries, qlens, targets, tlens, h0s):
+            return bsw_mod.bsw_extend(
+                opt.o_del, opt.e_del, opt.o_ins, opt.e_ins, opt.zdrop,
+                bonus, self.max_sc, mat, w_in, queries, qlens, targets,
+                tlens, h0s)
+
+        step = jax.jit(jax.shard_map(
+            run, mesh=self.mesh,
+            in_specs=(P(), P(), P("data", None), P("data"),
+                      P("data", None), P("data"), P("data")),
+            out_specs=P(None, "data"),
+            check_vma=False))
+        self._steps[key] = step
+        return step
+
+    def run_flat(self, qbuf, qoff, rbuf, roff, h0, w: int, pen_clip: int):
+        n = len(h0)
+        if n == 0:
+            z = np.zeros(0, np.int32)
+            return (z,) * 6
+        S = self.S
+        per = -(-n // S)
+        P_shard = _bucket(max(per, 1), 64)
+        Pb = S * P_shard
+        Q = _bucket(int((qoff[1:] - qoff[:-1]).max(initial=1)), 32)
+        T = _bucket(int((roff[1:] - roff[:-1]).max(initial=1)), 32)
+        q_packed, qlens = _pack_rows(qbuf, qoff, n, Q)
+        t_packed, tlens = _pack_rows(rbuf, roff, n, T)
+        # shard-major layout: pair i -> row (i//per)*P_shard + i%per
+        rows = np.arange(n)
+        srt = (rows // per) * P_shard + rows % per
+        queries = np.full((Pb, Q), 4, np.uint8)
+        targets = np.full((Pb, T), 4, np.uint8)
+        qlp = np.zeros(Pb, np.int32)
+        tlp = np.zeros(Pb, np.int32)
+        h0p = np.ones(Pb, np.int32)
+        queries[srt] = q_packed
+        targets[srt] = t_packed
+        qlp[srt] = qlens
+        tlp[srt] = tlens
+        h0p[srt] = h0
+        step = self._step(Pb, Q, T, int(pen_clip))
+        out = np.asarray(step(self.mat, jnp.int32(w),
+                              jnp.asarray(queries), jnp.asarray(qlp),
+                              jnp.asarray(targets), jnp.asarray(tlp),
+                              jnp.asarray(h0p)))
+        return tuple(out[j, srt].astype(np.int32) for j in range(6))

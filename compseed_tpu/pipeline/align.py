@@ -45,7 +45,8 @@ def align_batch(opt: MemOptions, fm: FMIndex, reads: list[Read],
         mflat, moff, sflat, soff = seeder.run_flat(queries, stats)
         if hasattr(engine, "set_query_context"):
             qd = getattr(seeder, "last_qd", None)
-            engine.set_query_context(qd, getattr(seeder, "last_L", 0))
+            engine.set_query_context(qd, getattr(seeder, "last_L", 0),
+                                     getattr(seeder, "last_row_map", None))
         sams = tail.run_batch_flat(
             queries, mflat, moff, sflat, soff, engine, n_processed,
             [r.name for r in reads], [r.qual for r in reads],
@@ -193,7 +194,8 @@ def align_stream(opt: MemOptions, fm: FMIndex, chunk_iter, engine, seeder,
         # snapshot the device read matrix before the next chunk's seeding
         # overwrites it (the engine slices pair sequences from it)
         ctx = (getattr(seeder, "last_qd", None),
-               getattr(seeder, "last_L", 0))
+               getattr(seeder, "last_L", 0),
+               getattr(seeder, "last_row_map", None))
         return queries, out, ctx
 
     with cf.ThreadPoolExecutor(max_workers=1) as ex:
@@ -216,9 +218,9 @@ def align_stream(opt: MemOptions, fm: FMIndex, chunk_iter, engine, seeder,
 def _drain(opt, engine, tail, pending, paired, pes_override, rg_id,
            on_done):
     reads, fut, base = pending
-    queries, (mflat, moff, sflat, soff), (qd, L) = fut.result()
+    queries, (mflat, moff, sflat, soff), (qd, L, row_map) = fut.result()
     if hasattr(engine, "set_query_context"):
-        engine.set_query_context(qd, L)
+        engine.set_query_context(qd, L, row_map)
     sams = tail.run_batch_flat(
         queries, mflat, moff, sflat, soff, engine, base,
         [r.name for r in reads], [r.qual for r in reads],

@@ -1,7 +1,11 @@
 """Multi-device data parallelism on the virtual CPU mesh."""
 
+import os
+
 import numpy as np
 import pytest
+
+from tests.conftest import FIXTURES
 
 
 def test_data_parallel_step_8dev(tiny_fm):
@@ -27,3 +31,60 @@ def test_data_parallel_step_8dev(tiny_fm):
     assert (np.asarray(seed_lens) > 0).all()
     # sharded across all 8 devices
     assert len(scores.sharding.device_set) == 8
+
+
+def _run_production(fm, mesh, reads):
+    """The full production path — sharded seeder, sharded banded-SW
+    engine, native tail — over one chunk."""
+    import jax
+    from compseed_tpu.native import NativeTail
+    from compseed_tpu.options import MemOptions
+    from compseed_tpu.parallel.sharded import ShardedBswRunner, ShardedSeeder
+    from compseed_tpu.pipeline.align import align_chunk
+
+    opt = MemOptions()
+    seeder = ShardedSeeder(opt, fm, mesh=mesh)
+    engine = ShardedBswRunner(opt, np.array(opt.mat), mesh=mesh,
+                              dfi=seeder.dfi)
+    tail = NativeTail(opt, fm)
+    rs = [r.__class__(**r.__dict__) for r in reads]   # fresh copies
+    align_chunk(opt, fm, rs, 0, engine=engine, seeder=seeder, tail=tail)
+    return "".join(r.sam for r in rs)
+
+
+@pytest.mark.slow
+def test_production_sam_identical_across_mesh_shapes(tiny_fm):
+    """The distributed determinism contract (SURVEY §4): byte-identical
+    SAM for mesh shapes {1, 2, 4, 8} — the -K reproducibility guarantee
+    (main.cpp:266,437) carried to the device mesh."""
+    import jax
+    from compseed_tpu.io.fastq import read_fastq_chunks
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    reads = []
+    for chunk in read_fastq_chunks(
+            os.path.join(FIXTURES, "reads.fq"), 10**9):
+        reads.extend(chunk)
+    reads = reads[:240]
+    from compseed_tpu.parallel.mesh import make_mesh
+
+    sams = {}
+    for S in (1, 2, 4, 8):
+        mesh = make_mesh(jax.devices()[:S])
+        sams[S] = _run_production(tiny_fm, mesh, reads)
+    assert sams[1] == sams[2] == sams[4] == sams[8]
+    # and the mesh result equals the single-device reference pipeline
+    from compseed_tpu.native import NativeTail
+    from compseed_tpu.options import MemOptions
+    from compseed_tpu.ops.engine import device_engine, device_seeder
+    from compseed_tpu.pipeline.align import align_chunk
+
+    opt = MemOptions()
+    seeder = device_seeder(opt, tiny_fm)
+    engine = device_engine(opt, tiny_fm, dfi=seeder.dfi)
+    tail = NativeTail(opt, tiny_fm)
+    rs = [r.__class__(**r.__dict__) for r in reads]
+    align_chunk(opt, tiny_fm, rs, 0, engine=engine, seeder=seeder,
+                tail=tail)
+    assert sams[8] == "".join(r.sam for r in rs)
