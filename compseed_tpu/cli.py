@@ -259,7 +259,8 @@ def cmd_mem(argv: list[str]) -> int:
             engine = device_engine(opt, fm,
                                    dfi=getattr(seeder, "dfi", None))
     if args.tail == "native":
-        from compseed_tpu.native import NativeTail
+        from compseed_tpu.native import NativeTail, set_threads
+        set_threads(args.n_threads)   # -t threads the host tail's kt_for
         tail = NativeTail(opt, fm)
 
     chunk_bases = args.chunk_bases if args.chunk_bases and \

@@ -69,7 +69,7 @@ def build_library(force: bool = False) -> str:
     src_mtime = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC_SAIS))
     if force or not os.path.exists(_SO) or \
             os.path.getmtime(_SO) < src_mtime:
-        cmd = ["g++", "-O2", "-fPIC", "-shared", "-std=c++17",
+        cmd = ["g++", "-O2", "-fPIC", "-shared", "-std=c++17", "-pthread",
                "-o", _SO, _SRC, _SRC_SAIS]
         subprocess.run(cmd, check=True, capture_output=True)
     return _SO
@@ -121,8 +121,17 @@ def _load():
     lib.cs_batch_destroy.argtypes = [ct.c_void_p]
     lib.cs_sais_u8.restype = ct.c_int
     lib.cs_sais_u8.argtypes = [u8p, ct.c_int64, ct.c_int64, i64p]
+    lib.cs_set_threads.restype = None
+    lib.cs_set_threads.argtypes = [ct.c_int32]
     _lib = lib
     return lib
+
+
+def set_threads(n: int) -> None:
+    """Thread count for the host tail's kt_for fan-outs
+    (cstl/kthread.c:51-63 equivalent); results are identical for any
+    value."""
+    _load().cs_set_threads(int(n))
 
 
 def _ptr(a: np.ndarray, typ):

@@ -20,12 +20,14 @@
 // Build: g++ -O2 -fPIC -shared -o libcompseed_host.so compseed_host.cpp
 
 #include <algorithm>
+#include <atomic>
 #include <cassert>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -38,6 +40,35 @@ using u64 = uint64_t;
 using i32 = int32_t;
 using u32 = uint32_t;
 using u8 = uint8_t;
+
+// ---------------------------------------------------------------------
+// kt_for equivalent (cstl/kthread.c:51-63): dynamic work distribution
+// over an atomic counter.  Every parallelized loop body is per-read (or
+// per-pair) independent, so output is identical for any thread count —
+// the reference's own thread-safety-by-construction model.
+int g_n_threads = 1;
+
+template <class F>
+void kt_for_eq(i64 n, const F& f) {
+    int nt = (int)std::min<i64>(g_n_threads, n);
+    if (nt <= 1) {
+        for (i64 i = 0; i < n; ++i) f(i);
+        return;
+    }
+    std::atomic<i64> next(0);
+    auto worker = [&]() {
+        for (;;) {
+            i64 i = next.fetch_add(1, std::memory_order_relaxed);
+            if (i >= n) break;
+            f(i);
+        }
+    };
+    vector<std::thread> ths;
+    ths.reserve(nt - 1);
+    for (int t = 0; t < nt - 1; ++t) ths.emplace_back(worker);
+    worker();
+    for (auto& th : ths) th.join();
+}
 
 // ---------------------------------------------------------------------
 // options mirror (mem_opt_t, mapping/comp_seed.h:41-73)
@@ -2177,7 +2208,11 @@ void* cs_batch_create(const CsOpt* opt, const u8* pac, i64 l_pac,
         np += strlen(np) + 1;
     }
     B->reads.resize(n_reads);
-    for (int r = 0; r < n_reads; ++r) {
+    // per-read chaining/filtering fans out over threads (the kt_for over
+    // read tiles, comp_seed.cpp:2541-2548); emit_pairs stays serial below
+    // so the SeqPair order — which fixes the DP batch layout — is
+    // independent of the thread count
+    kt_for_eq(n_reads, [&](i64 r) {
         ReadState& rs = B->reads[r];
         rs.query.assign(query_buf + query_off[r], query_buf + query_off[r + 1]);
         build_chains(B, &rs, match_flat + 3 * match_off[r],
@@ -2221,10 +2256,12 @@ void* cs_batch_create(const CsOpt* opt, const u8* pac, i64 l_pac,
                             rs.chains[ci].seeds[sj].score);
         }
         filter_chained_seeds(B, &rs);
-        emit_pairs(B, r);
-    }
+    });
+    for (int r = 0; r < n_reads; ++r) emit_pairs(B, r);
     return B;
 }
+
+void cs_set_threads(i32 n) { g_n_threads = n > 0 ? n : 1; }
 
 i64 cs_pending_pairs(void* h, i32 side) {
     Batch* B = (Batch*)h;
@@ -2300,7 +2337,8 @@ void cs_finalize(void* h, i64 n_processed, const char* name_buf,
                  const i64* comment_off, const char* rg_id) {
     Batch* B = (Batch*)h;
     purge_contained(B);
-    for (size_t r = 0; r < B->reads.size(); ++r) {
+    // per-read finalize is independent (worker2 SE, bwamem.c:1308-1317)
+    kt_for_eq((i64)B->reads.size(), [&](i64 r) {
         ReadState& rs = B->reads[r];
         sort_dedup_patch(B, &rs);
         for (auto& p : rs.regs)
@@ -2317,7 +2355,7 @@ void cs_finalize(void* h, i64 n_processed, const char* name_buf,
                            comment_buf + comment_off[r + 1]);
         reg2sam(B, &rs, name.c_str(), qual, ql,
                 comment.empty() ? nullptr : comment.c_str(), rg_id);
-    }
+    });
 }
 
 // paired-end finalize: dedup/patch per read, batch insert-size stats,
@@ -2331,12 +2369,12 @@ void cs_finalize_pe(void* h, i64 n_processed, const char* name_buf,
                     const double* pes_override) {
     Batch* B = (Batch*)h;
     purge_contained(B);
-    for (size_t r = 0; r < B->reads.size(); ++r) {
+    kt_for_eq((i64)B->reads.size(), [&](i64 r) {
         ReadState& rs = B->reads[r];
         sort_dedup_patch(B, &rs);
         for (auto& p : rs.regs)
             if (p.rid >= 0 && B->ref.ann_is_alt[p.rid]) p.is_alt = 1;
-    }
+    });
     PeStat pes[4];
     if (pes_override) {
         for (int d = 0; d < 4; ++d) {
@@ -2358,7 +2396,9 @@ void cs_finalize_pe(void* h, i64 n_processed, const char* name_buf,
         fprintf(stderr,
                 "[W::cs_finalize_pe] odd number of reads in PE batch; "
                 "the last read gets no alignment record\n");
-    for (size_t r = 0; r + 1 < B->reads.size(); r += 2) {
+    // pairs are independent (worker2 PE branch, bwamem.c:1318-1323)
+    kt_for_eq((i64)(B->reads.size() / 2), [&](i64 p) {
+        size_t r = (size_t)p * 2;
         const char* nm[2] = {names[r].c_str(), names[r + 1].c_str()};
         const char* ql[2] = {nullptr, nullptr};
         i64 qlen[2] = {0, 0};
@@ -2380,7 +2420,7 @@ void cs_finalize_pe(void* h, i64 n_processed, const char* name_buf,
         }
         sam_pe(B, pes, (n_processed >> 1) + (i64)(r >> 1),
                &B->reads[r], &B->reads[r + 1], nm, ql, qlen, cmp, rg_id);
-    }
+    });
 }
 
 i64 cs_sam_len(void* h, i32 read) {

@@ -44,6 +44,26 @@ def test_sam_parity_subset(tiny_fm):
         assert m == g, f"record {i} differs:\nMINE: {m}\nGOLD: {g}"
 
 
+def test_tail_thread_count_determinism(tiny_fm):
+    """-t only changes the host tail's kt_for fan-out
+    (cstl/kthread.c:51-63); SAM must be byte-identical for any count."""
+    from compseed_tpu.native import NativeTail, set_threads
+
+    reads0 = _load_reads("reads.fq", read_fastq_chunks)[:200]
+    sams = []
+    for nt in (1, 4):
+        opt = MemOptions()
+        reads = [r.__class__(**r.__dict__) for r in reads0]
+        set_threads(nt)
+        try:
+            align_chunk(opt, tiny_fm, reads, 0,
+                        tail=NativeTail(opt, tiny_fm))
+        finally:
+            set_threads(1)
+        sams.append("".join(r.sam for r in reads))
+    assert sams[0] == sams[1]
+
+
 @pytest.mark.slow
 def test_sam_parity_full(tiny_fm):
     opt = MemOptions()
