@@ -161,15 +161,21 @@ def pack_bwt_words(bwt_codes: np.ndarray) -> np.ndarray:
     """Pack the BWT string 16 bases per uint32, first base in high bits.
 
     Contract: bwt_pac2bwt packing (FM_index/index_main.c:124-125).
+    Chunked: a whole-genome uint32 staging copy would cost 4x the BWT.
     """
     n = len(bwt_codes)
     n_words = (n + 15) >> 4
-    padded = np.zeros(n_words * 16, dtype=np.uint32)
-    padded[:n] = bwt_codes
-    g = padded.reshape(-1, 16)
     words = np.zeros(n_words, dtype=np.uint32)
-    for j in range(16):
-        words |= g[:, j] << np.uint32((15 - j) << 1)
+    CW = 1 << 24                      # words per chunk (256 MB staging)
+    for w0 in range(0, n_words, CW):
+        w1 = min(w0 + CW, n_words)
+        seg = np.zeros((w1 - w0) * 16, dtype=np.uint32)
+        src = bwt_codes[w0 * 16: min(w1 * 16, n)]
+        seg[: len(src)] = src
+        g = seg.reshape(-1, 16)
+        acc = words[w0:w1]
+        for j in range(16):
+            acc |= g[:, j] << np.uint32((15 - j) << 1)
     return words
 
 
@@ -229,8 +235,18 @@ def build_index(fa_path: str, sa_intv: int = SA_INTV_DEFAULT) -> BuiltIndex:
     except Exception:
         sa_full = suffix_array(both)
     # length seq_len+1, sa_full[0] == seq_len
-    primary = int(np.nonzero(sa_full == 0)[0][0])
-    bwt_codes = both[(sa_full[sa_full != 0] - 1)].astype(np.uint8)
+    # chunked passes: at hg19 scale sa_full is ~50 GB, so boolean masks /
+    # fancy-index copies of it would transiently double peak RSS
+    primary = int(np.argmin(sa_full))       # the single 0 entry
+    bwt_codes = np.empty(seq_len, dtype=np.uint8)
+    out = 0
+    CH = 1 << 26
+    for i0 in range(0, len(sa_full), CH):
+        blk = sa_full[i0: i0 + CH]
+        nz = blk[blk != 0]
+        bwt_codes[out: out + len(nz)] = both[nz - 1]
+        out += len(nz)
+    assert out == seq_len
 
     L2 = np.zeros(5, dtype=np.int64)
     L2[1:] = np.cumsum(np.bincount(both, minlength=4)[:4])

@@ -36,6 +36,12 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+# packed scalar tail of blob_i: [mtotal, stotal, n_uniq] + 8 overflow
+# flags + [n_pool, n_u, fwd_queries, fwd_calls]
+N_SCAL = 15
+FWD_OVF_SLOT = 2                 # index within oflags of the fwd flag
+
+
 def unpack_blobs(blob_i: np.ndarray, blob_d: np.ndarray, R: int,
                  MEMCAP: int, SEEDCAP: int, n_reads: int) -> dict:
     """Decode one shard's packed (blob_i, blob_d) result pair (j_pack
@@ -49,10 +55,11 @@ def unpack_blobs(blob_i: np.ndarray, blob_d: np.ndarray, R: int,
     ln_h = blob_i[off:off + SEEDCAP]; off += SEEDCAP
     seed_cnt_h = blob_i[off:off + R]; off += R
     bad_h = blob_i[off:off + R]; off += R
-    scal = blob_i[off:off + 12]
+    scal = blob_i[off:off + N_SCAL]
     mtotal_h, stotal_h, n_uniq_h = int(scal[0]), int(scal[1]), int(scal[2])
-    oflags = scal[3:10]
-    npool_h, nu_h = int(scal[10]), int(scal[11])
+    oflags = scal[3:11]          # r1: pool/walk/fwd; r2: 3; merge; seeds
+    npool_h, nu_h = int(scal[11]), int(scal[12])
+    fq_h, fc_h = int(scal[13]), int(scal[14])
     ms_h = blob_d[:MEMCAP]
     rbeg_h = blob_d[MEMCAP:MEMCAP + SEEDCAP]
 
@@ -70,7 +77,7 @@ def unpack_blobs(blob_i: np.ndarray, blob_d: np.ndarray, R: int,
     return dict(mflat=mflat, moff=moff, sflat=sflat, soff=soff,
                 oflags=oflags, bad=bad_h[:n_reads],
                 stotal=stotal_h, n_uniq=n_uniq_h,
-                npool=npool_h, n_u=nu_h)
+                npool=npool_h, n_u=nu_h, fq=fq_h, fc=fc_h)
 
 
 def _bucket(x: int, lo: int) -> int:
@@ -104,6 +111,10 @@ class DeviceSeeder:
         self.dedup = dedup
         self.r2_dedup = dedup and \
             os.environ.get("COMPSEED_R2_DEDUP", "0") == "1"
+        # forward-sweep dedup disables itself after a cap overflow (low-
+        # sharing input would otherwise fall back every chunk)
+        self.fwd_disabled = \
+            os.environ.get("COMPSEED_FWD_DEDUP", "1") == "0"
         self._jits: dict = {}
         self.prof: dict = {}
         self.last_overflow = False
@@ -142,17 +153,33 @@ class DeviceSeeder:
         stages_u2 = [(CAP_U2, 6), (CAP_U2 // 2, 24), (CAP_U2 // 4, MAXW)]
         r2_dedup = self.r2_dedup
 
+        fwd_stages = ss.fwd_stages_for(R, L)
+        use_fwd = use_dedup and not self.fwd_disabled
+
         @jax.jit
         def j_round1(qarr, rlens):
             R_ = qarr.shape[0]
-            z = jnp.zeros(R_, i32)
-            lep, cnt, sovf = scan1(qarr, rlens, z, jnp.ones(R_, i32),
-                                   rlens > 0)
-            pool, n_pool, povf = ss.build_pool(lep, cnt, GP)
             qflat = qarr.reshape(-1)
+            fovf = jnp.asarray(False)
+            if use_fwd:
+                # forward SST reuse (SST.h:60-71): staged sweep worklist,
+                # one representative walk per (interval, content-window)
+                # group; cap overflow raises fovf and the seeder rebuilds
+                # without the forward path (adaptive)
+                pool, n_pool, fovf, fqc, fcc = ss.forward_scan_dedup(
+                    fm, qarr, rlens, GP, fwd_stages)
+                bad = jnp.zeros(R_, jnp.bool_)        # no per-read caps
+                povf = jnp.asarray(False)
+            else:
+                z = jnp.zeros(R_, i32)
+                lep, cnt, sovf = scan1(qarr, rlens, z, jnp.ones(R_, i32),
+                                       rlens > 0)
+                pool, n_pool, povf = ss.build_pool(lep, cnt, GP)
+                fqc = fcc = jnp.asarray(0, i32)
+                bad = sovf != 0                       # per read
             if use_dedup:
-                # compressive cross-read reuse: walk one representative
-                # per (interval, pivot, prefix) state, scatter the result
+                # backward SST reuse: walk one representative per
+                # (interval, pivot, prefix) state, scatter the result
                 # to every duplicate (the SST hit, comp_seed.cpp:2265)
                 ph = ss.prefix_hashes(qarr)
                 rep_pool, group, n_u, dovf, _ = ss.dedup_pool(pool, ph,
@@ -170,10 +197,9 @@ class DeviceSeeder:
                                                        stages1)
             ok, rid, k, l, s, beg, end = ss.reconstruct(
                 pool, death, fk, fl, fs, opt.min_seed_len, (5, 4))
-            flags = jnp.stack([povf, wovf])          # chunk-global
-            bad = sovf != 0                           # per read
+            flags = jnp.stack([povf, wovf, fovf])    # chunk-global
             return (pool, ok, rid, k, l, s, beg, end, flags, bad,
-                    n_pool, n_u)
+                    n_pool, n_u, fqc, fcc)
 
         @jax.jit
         def j_round2(qarr, rlens, ok, rid, k, s, beg, end):
@@ -312,7 +338,7 @@ class DeviceSeeder:
         @jax.jit
         def j_pack(mok, mrid, ms, mbeg, mend, mtotal, rbeg, qb, ln,
                    stotal, n_uniq, seed_cnt, f1, f2, bad1, bad2, bad3,
-                   f4, f5, n_pool, n_u):
+                   f4, f5, n_pool, n_u, fqc, fcc):
             """Pack results into two blobs — every device->host transfer
             over the tunnel pays a large flat cost, so ship exactly two
             arrays (one i32, one index-dtype).  f1/f2 are chunk-global
@@ -325,7 +351,8 @@ class DeviceSeeder:
                            n_uniq.astype(i32)]),
                 f1.astype(i32), f2.astype(i32),
                 jnp.stack([f4.astype(i32), f5.astype(i32),
-                           n_pool.astype(i32), n_u.astype(i32)])])
+                           n_pool.astype(i32), n_u.astype(i32),
+                           fqc.astype(i32), fcc.astype(i32)])])
             blob_i = jnp.concatenate([
                 mrid2.astype(i32), mbeg.astype(i32), mend.astype(i32),
                 qb.astype(i32), ln.astype(i32), seed_cnt.astype(i32),
@@ -339,8 +366,8 @@ class DeviceSeeder:
             mesh (each device seeds its own read sub-batch with a
             replicated index, like each kt_for thread owning a private
             SST over its tile, comp_seed.cpp:2541-2548)."""
-            pool, ok, rid, k, l, s, beg, end, ovf1, bad1, n_pool, n_u = \
-                j_round1(qd, rd)
+            (pool, ok, rid, k, l, s, beg, end, ovf1, bad1, n_pool, n_u,
+             fqc, fcc) = j_round1(qd, rd)
             r2 = j_round2(qd, rd, ok, rid, k, s, beg, end)
             r3 = j_round3(qd, rd)
             merged = j_merge(ok, rid, k, l, s, beg, end, *r2[:7], *r3[:7])
@@ -349,7 +376,7 @@ class DeviceSeeder:
             rbeg, qb, ln, stotal, n_uniq, seed_cnt, sovf = seeds
             return j_pack(mok, mrid, ms, mbeg, mend, mtotal, rbeg, qb, ln,
                           stotal, n_uniq, seed_cnt, ovf1, r2[7], bad1,
-                          r2[8], r3[7], movf, sovf, n_pool, n_u)
+                          r2[8], r3[7], movf, sovf, n_pool, n_u, fqc, fcc)
 
         fns = dict(r1=j_round1, r2=j_round2, r3=j_round3, merge=j_merge,
                    seeds=j_seeds, pack=j_pack, whole=whole,
@@ -376,8 +403,8 @@ class DeviceSeeder:
         rd = jnp.asarray(rlens)
         self.last_qd = qd
         self.last_L = L
-        pool, ok, rid, k, l, s, beg, end, ovf1, bad1, n_pool, n_u = \
-            fns["r1"](qd, rd)
+        (pool, ok, rid, k, l, s, beg, end, ovf1, bad1, n_pool, n_u,
+         fqc, fcc) = fns["r1"](qd, rd)
         r2 = fns["r2"](qd, rd, ok, rid, k, s, beg, end)
         r3 = fns["r3"](qd, rd)
         merged = fns["merge"](ok, rid, k, l, s, beg, end,
@@ -388,7 +415,8 @@ class DeviceSeeder:
         blob_i, blob_d = fns["pack"](mok, mrid, ms, mbeg, mend, mtotal,
                                      rbeg, qb, ln, stotal, n_uniq,
                                      seed_cnt, ovf1, r2[7], bad1, r2[8],
-                                     r3[7], movf, sovf, n_pool, n_u)
+                                     r3[7], movf, sovf, n_pool, n_u,
+                                     fqc, fcc)
 
         # ---- one sync point: pull the two packed result blobs
         blob_i, blob_d = jax.device_get((blob_i, blob_d))
@@ -403,6 +431,7 @@ class DeviceSeeder:
             self.last_overflow = True
             self.last_qd = None      # meta engines must not reuse stale qd
             self.prof["overflow_flags"] = res["oflags"].tolist()
+            self._note_fwd_overflow(res["oflags"])
             from compseed_tpu.ops.smem import BatchSeeder
             legacy = BatchSeeder(opt, self.fm, self.dfi)
             return legacy.run_flat(queries, stats)
@@ -411,8 +440,8 @@ class DeviceSeeder:
         if stats is not None:
             stats.sal_queries += res["stotal"]
             stats.sal_calls += res["n_uniq"]
-            stats.bwt_queries += res["npool"]
-            stats.bwt_calls += res["n_u"]
+            stats.bwt_queries += res["npool"] + res["fq"]
+            stats.bwt_calls += res["n_u"] + res["fc"]
         self._mrows = None
         mflat, moff, sflat, soff = (res["mflat"], res["moff"],
                                     res["sflat"], res["soff"])
@@ -421,6 +450,20 @@ class DeviceSeeder:
             mflat, moff, sflat, soff = self._splice_oracle(
                 queries, bad_reads, mflat, moff, sflat, soff)
         return mflat, moff, sflat, soff
+
+    def _note_fwd_overflow(self, oflags) -> None:
+        """Adaptive response to a forward-dedup cap overflow: drop the
+        forward path from future compiles (this input doesn't share
+        enough), keeping everything else."""
+        if not self.fwd_disabled and oflags[FWD_OVF_SLOT]:
+            import sys
+            print("[M::seeder2] forward-sweep dedup caps overflowed; "
+                  "disabling the forward path for subsequent chunks",
+                  file=sys.stderr)
+            self.fwd_disabled = True
+            self._jits.clear()
+            if hasattr(self, "_sharded"):
+                self._sharded.clear()
 
     def _splice_oracle(self, queries, bad_reads, mflat, moff, sflat,
                        soff):
@@ -476,8 +519,8 @@ class DeviceSeeder:
         fns = self._build(R, L)
         qd = jnp.asarray(qarr)
         rd = jnp.asarray(rlens)
-        pool, ok, rid, k, l, s, beg, end, ovf1, bad1, n_pool, n_u = \
-            fns["r1"](qd, rd)
+        (pool, ok, rid, k, l, s, beg, end, ovf1, bad1, n_pool, n_u,
+         fqc, fcc) = fns["r1"](qd, rd)
         r2 = fns["r2"](qd, rd, ok, rid, k, s, beg, end)
         r3 = fns["r3"](qd, rd)
         merged = fns["merge"](ok, rid, k, l, s, beg, end,

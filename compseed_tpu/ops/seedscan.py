@@ -348,8 +348,404 @@ def reconstruct(pool, death, fk, fl, fs, min_seed_len: int, group_cols):
 
 
 # ----------------------------------------------------------------------
-# cross-read walk deduplication (the SST's compressive reuse)
+# forward sweep worklist with cross-read reuse (the forward SST,
+# mapping/SST.h:60-71 query_forward_child)
 # ----------------------------------------------------------------------
+#
+# The reference's forward SST memoizes every (trie-path, base) forward
+# extension across a batch.  Batch formulation here: the round-1 scan is
+# a sequence of pivot SWEEPS per read; sweeps run as a staged worklist
+# (one lane per read), and within each stage — whose behavior depends
+# only on (pivot, position, interval, next-B-characters) — lanes are
+# grouped by that key and only one representative per group pays the
+# occ-gather cost.  Prefix-sharing reads (what compressor reordering
+# produces) stay in one group until the divergence point enters the
+# stage window, so the trie's sharing is captured at stage granularity.
+
+_BM1 = 0x100000001B3
+_BM2 = 0x9E3779B97F4A7C15
+_SALT1 = 1
+_SALT2 = 5
+
+
+def _pow_u64(base: int, e: int) -> np.uint64:
+    r = np.uint64(1)
+    b = np.uint64(base)
+    with np.errstate(over="ignore"):
+        while e:
+            if e & 1:
+                r = r * b
+            b = b * b
+            e >>= 1
+    return r
+
+
+def padded_prefix_state(qarr, pad: int):
+    """Prefix-hash accumulators of the 4-padded rows, length L+pad+1.
+
+    A[r, p] = poly hash of row[:p] (row extended with 4s), for two
+    independent 64-bit bases.  Window hash of row[p:p+B] is then
+    A[p+B] - A[p] * BM**B — the per-stage dedup key.
+    """
+    R, L = qarr.shape
+    ext = jnp.concatenate(
+        [qarr, jnp.full((R, pad), 4, qarr.dtype)], axis=1)
+
+    def acc(base, salt):
+        a = ext.astype(jnp.uint64) + jnp.uint64(salt)
+        m = jnp.full(ext.shape, jnp.uint64(base), jnp.uint64)
+
+        def comb(x, y):
+            m1, a1 = x
+            m2, a2 = y
+            return m1 * m2, a1 * m2 + a2
+
+        _, h = jax.lax.associative_scan(comb, (m, a), axis=1)
+        return jnp.concatenate(
+            [jnp.zeros((R, 1), jnp.uint64), h], axis=1)
+
+    return acc(_BM1, _SALT1), acc(_BM2, _SALT2)
+
+
+def next_nonamb(qarr):
+    """nxt[r, p] = smallest p' >= p with q[r, p'] < 4, else L.
+
+    Replaces the original scan's one-iteration-per-N pivot skipping
+    (phase 0 of _scan_one) with a precomputed jump table.
+    """
+    R, L = qarr.shape
+    pos = jnp.where(qarr < 4, jnp.arange(L, dtype=jnp.int32)[None, :], L)
+    rev = jnp.flip(pos, axis=1)
+    run = jax.lax.associative_scan(jnp.minimum, rev, axis=1)
+    return jnp.flip(run, axis=1)
+
+
+def _fwd_stage_walk(fm: DeviceFMIndex, qflat, nxtflat, L: int, B: int,
+                    state, mh, advance: bool):
+    """Walk up to B forward-sweep iterations for U representative lanes,
+    INCLUDING pivot respawns, as long as every consumed position stays
+    inside the lane's content window [pos0, pos0+B) — the region the
+    dedup key hashes, so group members are guaranteed to behave
+    identically.  Lanes whose sweep leaves the window freeze until the
+    stage boundary; amb stops whose next pivot lies outside the window
+    park in ``waiting`` for the boundary respawn.
+
+    state: k, l, s (dt), pos, pivot, rid (i32), alive (bool) over U.
+    Returns final state + per-step push records (pre-extension interval,
+    position, pivot), waiting info and per-lane occ-step counts.
+    """
+    dt = fm.dtype
+    i32 = jnp.int32
+    U = state["k"].shape[0]
+    pos_end = state["pos"] + jnp.asarray(B, i32)   # window limit
+
+    init = dict(state)
+    init["j"] = jnp.asarray(0, i32)
+    init["waiting"] = jnp.zeros(U, jnp.bool_)
+    init["wait_npv"] = jnp.zeros(U, i32)
+    init["steps"] = jnp.zeros(U, i32)
+    init["pf"] = jnp.zeros((U, B), jnp.bool_)
+    init["pk"] = jnp.zeros((U, B), dt)
+    init["pl"] = jnp.zeros((U, B), dt)
+    init["ps"] = jnp.zeros((U, B), dt)
+    init["pe"] = jnp.zeros((U, B), i32)
+    init["pp"] = jnp.zeros((U, B), i32)
+
+    def body(st):
+        j = st["j"]
+        pos = st["pos"]
+        active = st["alive"] & (pos < pos_end)
+        base = jnp.where(
+            pos < jnp.asarray(L, i32),
+            qflat[jnp.clip(st["rid"] * L + pos, 0,
+                           qflat.shape[0] - 1)].astype(i32),
+            4)
+        c = 3 - jnp.clip(base, 0, 3)
+        ik = jnp.stack([st["k"], st["l"], st["s"]], axis=-1)
+        ok = dfm.extend_batch(fm, ik, is_back=False)          # (U, 4, 3)
+        okc = jnp.take_along_axis(
+            ok, c[:, None, None].astype(i32), axis=1)[:, 0, :]
+        amb = base > 3
+        changed = okc[:, 2] != st["s"]
+        small = okc[:, 2] < mh
+        push = active & (amb | changed)
+        stop = active & (amb | (changed & small))
+        cont = active & ~stop
+
+        st = dict(st)
+        st["pf"] = st["pf"].at[:, j].set(push)
+        st["pk"] = st["pk"].at[:, j].set(st["k"])
+        st["pl"] = st["pl"].at[:, j].set(st["l"])
+        st["ps"] = st["ps"].at[:, j].set(st["s"])
+        st["pe"] = st["pe"].at[:, j].set(pos)
+        st["pp"] = st["pp"].at[:, j].set(st["pivot"])
+        st["steps"] = st["steps"] + active.astype(i32)
+
+        k = jnp.where(cont, okc[:, 0], st["k"])
+        l = jnp.where(cont, okc[:, 1], st["l"])
+        s = jnp.where(cont, okc[:, 2], st["s"])
+        newpos = jnp.where(cont, pos + 1, pos)
+        alive = st["alive"] & ~stop
+        pivot = st["pivot"]
+        waiting = st["waiting"]
+        wait_npv = st["wait_npv"]
+
+        if advance:
+            # in-window respawn (_scan_one phase 0 without the extra
+            # iteration): non-amb stop re-consumes `pos` as new pivot;
+            # amb stop jumps to the next non-amb IF it stays inside the
+            # window — a content-determined decision, so group-safe
+            rs_here = stop & ~amb
+            npv = pos + 1
+            nx = jnp.where(
+                npv < jnp.asarray(L, i32),
+                nxtflat[jnp.clip(st["rid"] * L + npv, 0,
+                                 nxtflat.shape[0] - 1)],
+                L)
+            # a jump target outside the window (or at the L sentinel,
+            # where lanes' beyond-window content may differ) must defer
+            # to the per-lane boundary respawn
+            in_win = (nx < pos_end) & (nx < jnp.asarray(L, i32))
+            rs_jump = stop & amb & in_win
+            park = stop & amb & ~in_win
+            newpiv = jnp.where(rs_here, pos, nx)
+            respawn = rs_here | rs_jump
+            baseN = jnp.where(
+                newpiv < jnp.asarray(L, i32),
+                qflat[jnp.clip(st["rid"] * L + newpiv, 0,
+                               qflat.shape[0] - 1)].astype(i32),
+                4)
+            ikN = _set_intv(fm, jnp.clip(baseN, 0, 3)).T
+            # a jump target that is padding (no pivot left) ends the lane
+            respawn = respawn & (baseN < 4)
+            pivot = jnp.where(respawn, newpiv, pivot)
+            k = jnp.where(respawn, ikN[:, 0], k)
+            l = jnp.where(respawn, ikN[:, 1], l)
+            s = jnp.where(respawn, ikN[:, 2], s)
+            newpos = jnp.where(respawn, newpiv + 1, newpos)
+            alive = alive | respawn
+            waiting = waiting | park
+            wait_npv = jnp.where(park, npv, wait_npv)
+
+        st["k"] = k
+        st["l"] = l
+        st["s"] = s
+        st["pos"] = newpos
+        st["pivot"] = pivot
+        st["alive"] = alive
+        st["waiting"] = waiting
+        st["wait_npv"] = wait_npv
+        st["j"] = j + 1
+        return st
+
+    SEG = 8
+
+    def guarded(st):
+        # the segmented loop may overshoot B; freeze state past it
+        return jax.lax.cond(st["j"] < jnp.asarray(B, i32), body,
+                            lambda s: s, st)
+
+    def seg(st):
+        return jax.lax.fori_loop(0, min(SEG, B), lambda _, x: guarded(x),
+                                 st)
+
+    def cond(st):
+        return (st["j"] < B) & \
+            jnp.any(st["alive"] & (st["pos"] < pos_end))
+
+    return jax.lax.while_loop(cond, seg, init)
+
+
+def fwd_stages_for(R: int, L: int):
+    """Stage schedule (rep_cap, step_budget) for the round-1 forward
+    scan.  Budgets must sum past the worst case ~2L (each pivot restart
+    re-consumes one position); rep caps below R are where the gather
+    savings come from — overflow falls back to the undeduplicated scan,
+    so caps are sized for the ~25-30% sharing the reference's SST
+    reports on reordered input (main.cpp:206-207), not the best case."""
+    MAXW = L + 2
+    return [(R, 8), (R, 8), (R - R // 8, 16), (R - R // 4, 32),
+            (R - R // 4, 64), (R - R // 4, MAXW), (R // 2, MAXW)]
+
+
+def forward_scan_dedup(fm: DeviceFMIndex, qarr, rlens, GP: int,
+                       stages, min_hits=None, pivots0=None, rids=None,
+                       advance: bool = True):
+    """Round-1 forward LEP scan with cross-read sweep deduplication.
+
+    Produces the same LEP pool as make_scan(advance=True) + build_pool —
+    rows (k,l,s,end,pivot,rid,valid) sorted by (rid, pivot, end), which
+    is the per-read push order reconstruct() requires — but each stage
+    walks only one representative per (pivot, pos, interval,
+    content-window) group.
+
+    Returns (pool (GP,7), n_rows, ovf, fwd_queries, fwd_calls).
+    """
+    dt = fm.dtype
+    i32 = jnp.int32
+    R, L = qarr.shape
+    n_lanes = R if rids is None else rids.shape[0]
+    qflat = qarr.reshape(-1)
+    rlens = rlens.astype(i32)
+    max_b = max(b for _, b in stages)
+    A1, A2 = padded_prefix_state(qarr, max_b)
+    nxt = next_nonamb(qarr)
+    nxtflat = nxt.reshape(-1)
+    lane_rid = jnp.arange(R, dtype=i32) if rids is None \
+        else rids.astype(i32)
+    lane_rlen = rlens[lane_rid]
+    mh = jnp.ones(n_lanes, dt) if min_hits is None \
+        else jnp.maximum(min_hits.astype(dt), 1)
+
+    # initial spawn (phase 0 of _scan_one): pivot = first non-amb
+    p0 = jnp.zeros(n_lanes, i32) if pivots0 is None \
+        else pivots0.astype(i32)
+    pivot = nxt[lane_rid, jnp.clip(p0, 0, L - 1)]
+    alive = (pivot < lane_rlen) & (lane_rlen > 0)
+    if pivots0 is not None:
+        alive = alive & (p0 < lane_rlen)
+    base0 = qflat[jnp.clip(lane_rid * L + pivot, 0, qflat.shape[0] - 1)]
+    ik0 = _set_intv(fm, jnp.clip(base0.astype(i32), 0, 3)).T   # (n, 3)
+    k = jnp.where(alive, ik0[:, 0], 0)
+    l = jnp.where(alive, ik0[:, 1], 0)
+    s = jnp.where(alive, ik0[:, 2], 0)
+    pos = pivot + 1
+
+    pool = jnp.zeros((GP, 7), dt)
+    cursor = jnp.asarray(0, i32)
+    povf = jnp.asarray(False)
+    uovf = jnp.asarray(False)
+    fq = jnp.asarray(0, i32)
+    fc = jnp.asarray(0, i32)
+    big = jnp.iinfo(jnp.int64).max
+
+    for (U, B) in stages:
+        U = min(U, n_lanes)
+        # ---- group lanes by (interval, B-char content window, mh).
+        # Deliberately NOT by position: FM states depend only on the
+        # consumed substring, so two reads covering the same genomic
+        # region share walks at *different* offsets — the dominant
+        # redundancy in compressor-reordered batches.  All positions in
+        # the rep's outcome are shifted per lane afterwards.
+        pwr1 = jnp.uint64(_pow_u64(_BM1, B))
+        pwr2 = jnp.uint64(_pow_u64(_BM2, B))
+        pcol = jnp.clip(pos, 0, L)
+        w1 = A1[lane_rid, pcol + B] - A1[lane_rid, pcol] * pwr1
+        w2 = A2[lane_rid, pcol + B] - A2[lane_rid, pcol] * pwr2
+        valid = alive
+        keys = [jnp.where(valid, w1.astype(jnp.int64), big),
+                jnp.where(valid, w2.astype(jnp.int64), big),
+                jnp.where(valid, k.astype(jnp.int64), big),
+                jnp.where(valid, s.astype(jnp.int64), big),
+                jnp.where(valid, mh.astype(jnp.int64), big)]
+        order = jnp.lexsort(tuple(reversed(keys)))
+        ks = [x[order] for x in keys]
+        vs = valid[order]
+        diff = jnp.concatenate([
+            jnp.asarray([True]),
+            jnp.stack([x[1:] != x[:-1] for x in ks]).any(axis=0)])
+        head = vs & diff
+        gidx_sorted = jnp.cumsum(head.astype(i32)) - 1
+        n_u = jnp.sum(head.astype(i32))
+        uovf = uovf | (n_u > U)
+        order2 = jnp.argsort(~head, stable=True)
+        rep_take = order[order2][:U]
+        sortpos = jnp.zeros(n_lanes, i32).at[order].set(
+            jnp.arange(n_lanes, dtype=i32))
+        group = jnp.clip(gidx_sorted[sortpos], 0, U - 1)    # lane->rep row
+
+        # ---- walk the representatives
+        rep_valid = jnp.arange(U, dtype=i32) < n_u
+        st = dict(
+            k=k[rep_take], l=l[rep_take], s=s[rep_take],
+            pos=pos[rep_take], pivot=pivot[rep_take],
+            rid=lane_rid[rep_take],
+            alive=alive[rep_take] & rep_valid)
+        st = _fwd_stage_walk(fm, qflat, nxtflat, L, B, st, mh[rep_take],
+                             advance)
+        fq = fq + jnp.sum(jnp.where(valid, st["steps"][group], 0))
+        fc = fc + jnp.sum(jnp.where(rep_valid, st["steps"], 0))
+
+        # ---- scatter outcomes back to every lane in the group; every
+        # rep-recorded position is rep-absolute, so shift by the lane's
+        # offset delta; a pivot equal to the rep's stage-entry pivot
+        # predates any in-stage respawn and maps to the lane's own
+        # entry pivot (respawned pivots are >= the entry pos, so the
+        # entry value can never collide with a respawn value)
+        was = alive
+        rep_pre = pos[rep_take]          # rep pre-stage positions (U,)
+        rep_piv0 = pivot[rep_take]       # rep entry pivots (U,)
+        delta = pos - rep_pre[group]
+        piv0_g = rep_piv0[group]
+
+        def shift_pos(v):
+            return v + delta
+
+        def shift_piv(v, own):
+            return jnp.where(v == piv0_g, own, v + delta)
+
+        # flush this stage's pushes (per lane, from its rep's record)
+        pf = st["pf"][group] & was[:, None]                   # (n, B)
+        ends = st["pe"][group] + delta[:, None]
+        pivs = jnp.where(st["pp"][group] == piv0_g[:, None],
+                         pivot[:, None],
+                         st["pp"][group] + delta[:, None])
+        rows = jnp.stack([
+            st["pk"][group].reshape(-1),
+            st["pl"][group].reshape(-1),
+            st["ps"][group].reshape(-1),
+            ends.reshape(-1).astype(dt),
+            pivs.reshape(-1).astype(dt),
+            jnp.broadcast_to(lane_rid[:, None], (n_lanes, B))
+            .reshape(-1).astype(dt),
+            jnp.ones(n_lanes * B, dt)], axis=1)               # (n*B, 7)
+        pflat = pf.reshape(-1)
+        rank = jnp.cumsum(pflat.astype(i32)) - 1
+        slot = jnp.where(pflat, cursor + rank, GP)
+        pool = pool.at[slot].set(rows, mode="drop")
+        n_push = jnp.sum(pflat.astype(i32))
+        cursor = cursor + n_push
+        povf = povf | (cursor > GP)
+
+        k = jnp.where(was, st["k"][group], k)
+        l = jnp.where(was, st["l"][group], l)
+        s = jnp.where(was, st["s"][group], s)
+        pivot = jnp.where(was, shift_piv(st["pivot"][group], pivot),
+                          pivot)
+        pos = jnp.where(was, shift_pos(st["pos"][group]), pos)
+        still = was & st["alive"][group]
+        parked = was & st["waiting"][group]
+        wait_npv = shift_pos(st["wait_npv"][group])
+
+        # ---- boundary respawn for amb stops whose next pivot fell
+        # outside the stage window
+        if advance:
+            newpiv = nxt[lane_rid, jnp.clip(wait_npv, 0, L - 1)]
+            newpiv = jnp.where(wait_npv >= L, L, newpiv)
+            respawn = parked & (newpiv < lane_rlen)
+            baseN = qflat[jnp.clip(lane_rid * L + newpiv, 0,
+                                   qflat.shape[0] - 1)]
+            ikN = _set_intv(fm, jnp.clip(baseN.astype(i32), 0, 3)).T
+            pivot = jnp.where(respawn, newpiv, pivot)
+            k = jnp.where(respawn, ikN[:, 0], k)
+            l = jnp.where(respawn, ikN[:, 1], l)
+            s = jnp.where(respawn, ikN[:, 2], s)
+            pos = jnp.where(respawn, newpiv + 1, pos)
+            alive = still | respawn
+        else:
+            alive = still
+
+    ovf = povf | uovf | jnp.any(alive)
+
+    # ---- final order: valid rows by (rid, pivot, end) = push order
+    pvalid = pool[:, 6] != 0
+    o_rid = jnp.where(pvalid, pool[:, 5].astype(jnp.int64), big)
+    o_piv = jnp.where(pvalid, pool[:, 4].astype(jnp.int64), big)
+    o_end = jnp.where(pvalid, pool[:, 3].astype(jnp.int64), big)
+    forder = jnp.lexsort((o_end, o_piv, o_rid))
+    pool = pool[forder]
+    return pool, cursor, ovf, fq, fc
+
 
 def prefix_hashes(qarr):
     """(R, L) uint8 -> (R, L) uint64 rolling hashes; H[:, i] covers

@@ -87,7 +87,8 @@ class ShardedSeeder(DeviceSeeder):
         self.prof["device_s"] = time.time() - t0
 
         _, _, _, MEMCAP, SEEDCAP, _ = self._jits[(R_shard, L)]["sizes"]
-        BI = 3 * MEMCAP + 2 * SEEDCAP + 2 * R_shard + 12
+        from compseed_tpu.ops.seeder2 import N_SCAL
+        BI = 3 * MEMCAP + 2 * SEEDCAP + 2 * R_shard + N_SCAL
         BD = MEMCAP + SEEDCAP
         blob_i = blob_i.reshape(S, BI)
         blob_d = blob_d.reshape(S, BD)
@@ -108,6 +109,7 @@ class ShardedSeeder(DeviceSeeder):
                 # reads with the legacy exact seeder
                 self.last_overflow = True
                 self.prof["overflow_flags"] = res["oflags"].tolist()
+                self._note_fwd_overflow(res["oflags"])
                 from compseed_tpu.ops.smem import BatchSeeder
                 legacy = BatchSeeder(self.opt, self.fm, self.dfi)
                 mflat, moff, sflat, soff = legacy.run_flat(sub, stats)
@@ -121,8 +123,8 @@ class ShardedSeeder(DeviceSeeder):
                 if stats is not None:
                     stats.sal_queries += res["stotal"]
                     stats.sal_calls += res["n_uniq"]
-                    stats.bwt_queries += res["npool"]
-                    stats.bwt_calls += res["n_u"]
+                    stats.bwt_queries += res["npool"] + res["fq"]
+                    stats.bwt_calls += res["n_u"] + res["fc"]
             msegs.append((mflat, moff))
             ssegs.append((sflat, soff))
         if self.last_overflow:

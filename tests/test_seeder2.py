@@ -145,3 +145,103 @@ def test_seeder2_per_read_fallback(tiny_fm):
                for row in m2[mo2[r]:mo2[r + 1]]]
         wall = [(beg, end, s) for (_, _, s, beg, end) in want]
         assert got == wall, f"read {r}"
+
+
+def _pool_from_scan(dfi, qarr, rlens, GP):
+    import jax.numpy as jnp
+    import numpy as np
+    from compseed_tpu.ops import seedscan as ss
+
+    scan1 = ss.make_scan(dfi, qarr.shape[1], ss.CAPL, advance=True)
+    lep, cnt, sovf = scan1(jnp.asarray(qarr), jnp.asarray(rlens),
+                           jnp.zeros(len(rlens), jnp.int32),
+                           jnp.ones(len(rlens), jnp.int32),
+                           jnp.asarray(rlens) > 0)
+    assert not np.asarray(sovf).any()
+    return np.asarray(ss.build_pool(lep, cnt, GP)[0])
+
+
+def test_forward_scan_dedup_exact(tiny_fm):
+    """The staged forward-sweep worklist with cross-read dedup (the
+    forward SST, mapping/SST.h:60-71) must emit the exact LEP pool of
+    the lockstep scan, for adversarial reads: Ns, short reads, exact
+    duplicates, shared prefixes, overlapping coverage."""
+    import jax.numpy as jnp
+    import numpy as np
+    from compseed_tpu.ops import seedscan as ss
+    from compseed_tpu.ops.device_index import to_device
+
+    dfi = to_device(tiny_fm)
+    rng = np.random.default_rng(21)
+    from tests.conftest import FIXTURES
+    import os
+    from compseed_tpu.index.build import read_fasta
+    from compseed_tpu.utils import NT4_TABLE
+    g = read_fasta(os.path.join(FIXTURES, "tiny.fa"))[0][2]
+    gcodes = NT4_TABLE[np.frombuffer(g, np.uint8)]
+
+    def sub(p, n):
+        return list(int(x) for x in gcodes[p:p + n])
+
+    reads = []
+    base = sub(12000, 101)
+    for i in range(40):                      # near-duplicates
+        r = list(base)
+        if i % 3:
+            r[int(rng.integers(0, 101))] = int(rng.integers(0, 4))
+        reads.append(r)
+    for i in range(60):                      # overlapping coverage
+        p = int(rng.integers(30000, 31000))
+        r = sub(p, 101)
+        if i % 2:
+            r[int(rng.integers(0, 101))] = int(rng.integers(0, 4))
+        reads.append(r)
+    reads.append(list(rng.integers(0, 4, 30)))          # short
+    reads.append([4] * 25)                              # all N
+    r = list(rng.integers(0, 4, 90))
+    r[40:43] = [4, 4, 4]                                # interior Ns
+    reads.append(r)
+    reads.append([])                                    # empty
+    reads.sort()
+    R, L = 128, 128
+    qarr = np.full((R, L), 4, np.uint8)
+    rlens = np.zeros(R, np.int32)
+    for i, q in enumerate(reads):
+        qarr[i, :len(q)] = q
+        rlens[i] = len(q)
+    GP = 48 * R
+    pool0 = _pool_from_scan(dfi, qarr, rlens, GP)
+    stages = [(R, 8), (R, 8), (R, 16), (R, 32), (R, 64),
+              (R, L + 2), (R, L + 2)]
+    pool1, n1, ovf, fq, fc = ss.forward_scan_dedup(
+        dfi, jnp.asarray(qarr), jnp.asarray(rlens), GP, stages)
+    assert not bool(ovf)
+    a = pool0[pool0[:, 6] != 0]
+    b = np.asarray(pool1)[np.asarray(pool1)[:, 6] != 0]
+    assert len(a) == len(b) and np.array_equal(a, b)
+    # the duplicated reads must actually share representative walks
+    assert int(fc) < int(fq)
+
+
+def test_forward_scan_dedup_overflow_flag(tiny_fm):
+    """Caps below the unique-group count must raise the overflow flag
+    (the caller falls back to the exact path)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from compseed_tpu.ops import seedscan as ss
+    from compseed_tpu.ops.device_index import to_device
+    from tests.test_seeder2 import _fixture_queries
+
+    dfi = to_device(tiny_fm)
+    queries = _fixture_queries(64)
+    R, L = 64, 128
+    qarr = np.full((R, L), 4, np.uint8)
+    rlens = np.zeros(R, np.int32)
+    for i, q in enumerate(queries):
+        qarr[i, :len(q)] = q
+        rlens[i] = len(q)
+    stages = [(R // 8, 8), (R // 8, L + 2), (R // 8, L + 2),
+              (R // 8, L + 2)]
+    _, _, ovf, _, _ = ss.forward_scan_dedup(
+        dfi, jnp.asarray(qarr), jnp.asarray(rlens), 48 * R, stages)
+    assert bool(ovf)
