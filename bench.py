@@ -1,8 +1,24 @@
 """Benchmark: end-to-end alignment throughput on one TPU chip.
 
 Metric: reads/s/chip for the full pipeline (seeding + merged SAL +
-chaining + banded-SW extension + SAM emission) on an E.coli-scale genome
-with compressor-reordered simulated reads — the BASELINE.json headline.
+chaining + banded-SW extension + SAM emission) — the BASELINE.json
+headline, measured honestly:
+
+  * genome: 2 Mbp with real repeat structure (tandem repeats + a
+    segmental duplication + N holes), not a pure random string;
+  * reads: substitution AND indel errors, occasional Ns;
+  * reordering: reads drawn at 30x coverage from a contiguous region
+    and ordered by (strand-canonical) layout position — what SPRING /
+    PgRC overlap clustering recovers — instead of a lexicographic sort;
+  * the compressive-health stats (BWT-extend hit %, SAL merged %) are
+    reported next to the throughput, as the reference prints at exit
+    (main.cpp:206-209);
+  * the timed section is averaged over 3 runs (the axon tunnel shows
+    ±20% run variance).
+
+The index uses sa_intv=8 (4x denser than the reference's on-disk
+intv=32): a deliberate TPU trade — HBM for inverse-Psi walk depth —
+available to any user of this framework, noted here for comparability.
 
 vs_baseline compares against the reference CompSeed's published E.coli
 throughput (BASELINE.md Table 1: 588 Mbases / 95 s align on SPRING
@@ -27,8 +43,62 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 GENOME_LEN = 2_000_000
 N_READS = 32768
 READ_LEN = 101
+COVERAGE = 30.0
 BASELINE_READS_PER_S = 61_300.0
 USE_NATIVE_TAIL = True
+N_RUNS = 3
+
+
+def _make_genome(rng) -> np.ndarray:
+    """Random backbone + the repeat features real genomes have."""
+    seq = rng.integers(0, 4, size=GENOME_LEN).astype(np.uint8)
+    # tandem repeat arrays (unit x copies)
+    for pos, unit_len, copies in ((300_000, 150, 12), (900_000, 60, 25),
+                                  (1_700_000, 2_000, 4)):
+        unit = seq[pos: pos + unit_len].copy()
+        tile = np.tile(unit, copies)[: unit_len * copies]
+        seq[pos: pos + len(tile)] = tile
+    # a diverged segmental duplication (1.5% divergence)
+    src = seq[500_000: 530_000].copy()
+    mut = rng.random(len(src)) < 0.015
+    src[mut] = rng.integers(0, 4, size=mut.sum())
+    seq[1_400_000: 1_430_000] = src
+    return seq
+
+
+def _simulate_reads(rng, genome: np.ndarray) -> np.ndarray:
+    """30x-coverage reads over a contiguous window, with subs + indels,
+    ordered by canonical layout position (overlap-cluster order)."""
+    span = int(N_READS * READ_LEN / COVERAGE)
+    base = (GENOME_LEN - span) // 2
+    positions = rng.integers(base, base + span - READ_LEN - 8,
+                             size=N_READS)
+    positions.sort()                      # layout order
+    reads = np.empty((N_READS, READ_LEN), dtype=np.uint8)
+    for i, pos in enumerate(positions):
+        r = genome[pos: pos + READ_LEN + 8].copy()
+        # indels: ~8% of reads carry one 1-4 bp insertion or deletion
+        u = rng.random()
+        if u < 0.04:
+            j = int(rng.integers(10, READ_LEN - 10))
+            n = int(rng.integers(1, 5))
+            r = np.concatenate([r[:j], r[j + n:]])          # deletion
+        elif u < 0.08:
+            j = int(rng.integers(10, READ_LEN - 10))
+            n = int(rng.integers(1, 5))
+            ins = rng.integers(0, 4, size=n).astype(np.uint8)
+            r = np.concatenate([r[:j], ins, r[j:]])         # insertion
+        r = r[:READ_LEN]
+        err = rng.random(READ_LEN) < 0.008                  # substitutions
+        r[err] = rng.integers(0, 4, size=int(err.sum()))
+        if rng.random() < 0.01:                             # stray N
+            r[int(rng.integers(0, READ_LEN))] = 4
+        if rng.random() < 0.5:
+            r = r[::-1].copy()
+            m = r < 4
+            r[m] = 3 - r[m]
+        reads[i] = r
+    return reads
 
 
 def _setup():
@@ -38,13 +108,11 @@ def _setup():
     from compseed_tpu.utils import NT4_TO_ASCII
 
     os.makedirs(CACHE, exist_ok=True)
-    # sa_intv=8: 4x denser SA sampling than the bwa default caps the
-    # inverse-Psi walk at 7 steps (TPU-first trade: HBM for walk depth)
-    prefix = os.path.join(CACHE, f"bench_{GENOME_LEN}_sa8")
+    prefix = os.path.join(CACHE, f"bench_{GENOME_LEN}_rep_sa8")
     fa = prefix + ".fa"
     if not os.path.exists(prefix + ".bwt"):
         rng = np.random.default_rng(2024)
-        seq = rng.integers(0, 4, size=GENOME_LEN).astype(np.uint8)
+        seq = _make_genome(rng)
         with open(fa, "w") as f:
             f.write(">bench_chr\n")
             s = bytes(NT4_TO_ASCII[seq]).decode()
@@ -53,25 +121,14 @@ def _setup():
         save_index(prefix, build_index(fa, sa_intv=8))
     fm = FMIndex.load(prefix)
 
-    reads_path = os.path.join(CACHE, f"reads_{N_READS}.npy")
+    reads_path = os.path.join(CACHE, f"reads_{N_READS}_cov30.npy")
     if os.path.exists(reads_path):
         reads = np.load(reads_path)
     else:
         rng = np.random.default_rng(7)
         from compseed_tpu.index.fmindex import unpack_pac_range
         genome = unpack_pac_range(fm.pac, 0, fm.l_pac)
-        reads = np.empty((N_READS, READ_LEN), dtype=np.uint8)
-        for i in range(N_READS):
-            pos = int(rng.integers(0, len(genome) - READ_LEN))
-            r = genome[pos: pos + READ_LEN].copy()
-            if rng.random() < 0.5:
-                r = (3 - r)[::-1]
-            err = rng.random(READ_LEN) < 0.01
-            r[err] = rng.integers(0, 4, size=err.sum())
-            reads[i] = r
-        # compressor reordering: lexicographic sort clusters similar reads
-        order = np.lexsort(reads.T[::-1])
-        reads = reads[order]
+        reads = _simulate_reads(rng, genome)
         np.save(reads_path, reads)
     return fm, reads
 
@@ -81,6 +138,7 @@ def main() -> None:
     from compseed_tpu.options import MemOptions
     from compseed_tpu.ops.engine import device_engine, device_seeder
     from compseed_tpu.pipeline.align import align_chunk
+    from compseed_tpu.pipeline.seeding import SeedingStats
     from compseed_tpu.utils import NT4_TO_ASCII
 
     fm, reads_arr = _setup()
@@ -106,24 +164,37 @@ def main() -> None:
 
     # timed: stream 2 chunks through the overlapped pipeline (device
     # seeds chunk k+1 while the host tail finishes chunk k), which is
-    # how production runs consume a -K chunked input
+    # how production runs consume a -K chunked input; average N_RUNS
     from compseed_tpu.pipeline.align import align_stream
     n_timed = 2 * CHUNK
-    chunks = [mk_reads(reads_arr[:CHUNK], 0),
-              mk_reads(reads_arr[CHUNK: 2 * CHUNK], CHUNK)]
-    done = []
-    t0 = time.time()
-    align_stream(opt, fm, iter(chunks), engine, seeder, tail,
-                 on_done=done.extend)
-    dt = time.time() - t0
-    assert len(done) == n_timed and all(r.sam for r in done)
+    rates = []
+    stats = SeedingStats()
+    for run in range(N_RUNS):
+        chunks = [mk_reads(reads_arr[:CHUNK], 0),
+                  mk_reads(reads_arr[CHUNK: 2 * CHUNK], CHUNK)]
+        done = []
+        st = SeedingStats()
+        t0 = time.time()
+        align_stream(opt, fm, iter(chunks), engine, seeder, tail,
+                     on_done=done.extend, stats=st)
+        dt = time.time() - t0
+        assert len(done) == n_timed and all(r.sam for r in done)
+        rates.append(n_timed / dt)
+        stats = st                      # per-run stats are identical
 
-    value = n_timed / dt
+    value = float(np.mean(rates))
+    bwt_hit = 100.0 * (stats.bwt_queries - stats.bwt_calls) / \
+        max(stats.bwt_queries, 1)
+    sal_merged = 100.0 * (stats.sal_queries - stats.sal_calls) / \
+        max(stats.sal_queries, 1)
     print(json.dumps({
         "metric": "reads_per_s_per_chip_e2e",
         "value": round(value, 2),
         "unit": "reads/s",
         "vs_baseline": round(value / BASELINE_READS_PER_S, 4),
+        "runs": [round(r, 1) for r in rates],
+        "bwt_hit_pct": round(bwt_hit, 2),
+        "sal_merged_pct": round(sal_merged, 2),
     }))
 
 

@@ -247,15 +247,15 @@ def cmd_mem(argv: list[str]) -> int:
             from compseed_tpu.parallel.sharded import (ShardedBswRunner,
                                                        ShardedSeeder)
             mesh = make_mesh(jax.devices()[:args.mesh])
-            seeder = ShardedSeeder(opt, fm, mesh=mesh,
-                                   dedup=not is_fastq_in)
+            seeder = ShardedSeeder(opt, fm, mesh=mesh, dedup=True)
             engine = ShardedBswRunner(opt, _np.array(opt.mat), mesh=mesh,
                                       dfi=seeder.dfi)
         else:
             from compseed_tpu.ops.engine import device_engine, device_seeder
-            # compressor-reordered raw input: batches share backward-
-            # search states heavily, so enable the cross-read walk dedup
-            seeder = device_seeder(opt, fm, dedup=not is_fastq_in)
+            # compressive dedup on for every input mode (the reference
+            # builds its SSTs unconditionally); the adaptive cap
+            # fallback protects low-sharing FASTQ input
+            seeder = device_seeder(opt, fm, dedup=True)
             engine = device_engine(opt, fm,
                                    dfi=getattr(seeder, "dfi", None))
     if args.tail == "native":
@@ -323,6 +323,41 @@ def cmd_mem(argv: list[str]) -> int:
                   f"({state['n'] / (time.time() - t0):.0f} reads/s)",
                   file=sys.stderr)
 
+    from compseed_tpu.parallel import distributed as dist_mod
+    proc_id, n_procs = dist_mod.init_distributed()
+    if n_procs > 1:
+        # multi-host / multi-process: round-robin -K chunk ownership with
+        # per-chunk shard files; `compseed-tpu merge` restores global
+        # order byte-identically (parallel/distributed.py)
+        if not args.output:
+            print("[E::mem] distributed mode requires -o", file=sys.stderr)
+            return 1
+        if proc_id == 0:
+            with open(args.output + ".header", "w") as hf:
+                hf.write(sam_header(fm, hdr_extra, pg))
+        n_processed = 0
+        ci = 0
+        for chunk in _chunks():
+            base = n_processed
+            n_processed += len(chunk)
+            if dist_mod.owns_chunk(ci, proc_id, n_procs):
+                align_chunk(opt, fm, chunk, base, engine=engine,
+                            stats=stats, seeder=seeder, tail=tail,
+                            rg_id=rg_id, pes_override=pes_override)
+                with open(dist_mod.shard_path(args.output, ci), "w") as f:
+                    for r in chunk:
+                        if r.sam:
+                            f.write(r.sam)
+                state["n"] += len(chunk)
+            ci += 1
+        q_out.put(None)
+        rt.join()
+        wt.join()
+        if args.output:
+            out.close()
+            os.remove(args.output)   # shards + header replace the stream
+        return 0
+
     if opt.flag & opts.MEM_F_SMARTPE:
         # -p: classify each chunk into SE/PE groups (fastmap.c:107-127)
         from compseed_tpu.pipeline.align import align_chunk_smart
@@ -363,6 +398,25 @@ def cmd_mem(argv: list[str]) -> int:
     return 0
 
 
+def cmd_merge(argv: list[str]) -> int:
+    """Merge distributed per-chunk SAM shards into one ordered file."""
+    from compseed_tpu.parallel.distributed import merge_shards
+    ap = argparse.ArgumentParser(prog="compseed-tpu merge")
+    ap.add_argument("output", help="the -o path the mem runs used")
+    ap.add_argument("--keep", action="store_true",
+                    help="keep shard files after merging")
+    args = ap.parse_args(argv)
+    header = None
+    hdr_path = args.output + ".header"
+    if os.path.exists(hdr_path):
+        header = open(hdr_path).read()
+    n = merge_shards(args.output, header=header, remove=not args.keep)
+    if not args.keep and os.path.exists(hdr_path):
+        os.remove(hdr_path)
+    print(f"[merge] {n} shards -> {args.output}", file=sys.stderr)
+    return 0
+
+
 def cmd_shm(argv: list[str]) -> int:
     """Stage/drop a shared-memory index copy (bwashm.c semantics)."""
     from compseed_tpu.index import shm as shm_mod
@@ -390,9 +444,18 @@ def cmd_shm(argv: list[str]) -> int:
 
 
 def main(argv: list[str] | None = None) -> int:
+    # honor an explicit cpu request: the machine profile may pre-select
+    # the TPU backend via jax.config, which beats the env var alone
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        try:
+            import jax
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     argv = sys.argv[1:] if argv is None else argv
     if not argv or argv[0] in ("-h", "--help"):
-        print("usage: compseed-tpu {index,mem,shm} ...", file=sys.stderr)
+        print("usage: compseed-tpu {index,mem,shm,merge} ...",
+              file=sys.stderr)
         return 1
     cmd, rest = argv[0], argv[1:]
     if cmd == "index":
@@ -401,6 +464,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_mem(rest)
     if cmd == "shm":
         return cmd_shm(rest)
+    if cmd == "merge":
+        return cmd_merge(rest)
     print(f"unknown command {cmd!r}", file=sys.stderr)
     return 1
 

@@ -236,8 +236,14 @@ def build_index(fa_path: str, sa_intv: int = SA_INTV_DEFAULT) -> BuiltIndex:
         sa_full = suffix_array(both)
     # length seq_len+1, sa_full[0] == seq_len
     # chunked passes: at hg19 scale sa_full is ~50 GB, so boolean masks /
-    # fancy-index copies of it would transiently double peak RSS
+    # fancy-index copies of it would transiently double peak RSS; the
+    # big arrays are also freed as soon as they are consumed
     primary = int(np.argmin(sa_full))       # the single 0 entry
+    n_sa = (seq_len + sa_intv) // sa_intv
+    sa_sampled = sa_full[: n_sa * sa_intv : sa_intv].astype(np.uint64)
+    assert len(sa_sampled) == n_sa
+    sa_sampled[0] = np.uint64(0xFFFFFFFFFFFFFFFF)  # bwt_cal_sa sets sa[0] = -1
+
     bwt_codes = np.empty(seq_len, dtype=np.uint8)
     out = 0
     CH = 1 << 26
@@ -247,16 +253,13 @@ def build_index(fa_path: str, sa_intv: int = SA_INTV_DEFAULT) -> BuiltIndex:
         bwt_codes[out: out + len(nz)] = both[nz - 1]
         out += len(nz)
     assert out == seq_len
+    del sa_full, blk, nz                    # ~8 bytes/position
 
     L2 = np.zeros(5, dtype=np.int64)
     L2[1:] = np.cumsum(np.bincount(both, minlength=4)[:4])
+    del both
 
     cp = occ_checkpoints(bwt_codes)
-
-    n_sa = (seq_len + sa_intv) // sa_intv
-    sa_sampled = sa_full[: n_sa * sa_intv : sa_intv].astype(np.uint64)
-    assert len(sa_sampled) == n_sa
-    sa_sampled[0] = np.uint64(0xFFFFFFFFFFFFFFFF)  # bwt_cal_sa sets sa[0] = -1
 
     return BuiltIndex(
         bns=bns, pac=pack_pac(fwd), primary=primary, L2=L2, seq_len=seq_len,
