@@ -42,26 +42,47 @@ N_SCAL = 15
 FWD_OVF_SLOT = 2                 # index within oflags of the fwd flag
 
 
+def blob_sizes(R: int, MEMCAP: int, SEEDCAP: int,
+               packed: bool) -> tuple[int, int]:
+    """(len(blob_i), len(blob_d)) for one shard's j_pack output."""
+    if packed:
+        return 3 * MEMCAP + SEEDCAP + R + N_SCAL, SEEDCAP
+    return 4 * MEMCAP + 2 * SEEDCAP + 2 * R + N_SCAL, SEEDCAP
+
+
 def unpack_blobs(blob_i: np.ndarray, blob_d: np.ndarray, R: int,
-                 MEMCAP: int, SEEDCAP: int, n_reads: int) -> dict:
+                 MEMCAP: int, SEEDCAP: int, n_reads: int,
+                 packed: bool = True) -> dict:
     """Decode one shard's packed (blob_i, blob_d) result pair (j_pack
     layout) into host-side flats + counters.  Shared by the single-chip
     and sharded paths."""
     off = 0
     mrid_h = blob_i[off:off + MEMCAP]; off += MEMCAP
-    mbeg_h = blob_i[off:off + MEMCAP]; off += MEMCAP
-    mend_h = blob_i[off:off + MEMCAP]; off += MEMCAP
-    qb_h = blob_i[off:off + SEEDCAP]; off += SEEDCAP
-    ln_h = blob_i[off:off + SEEDCAP]; off += SEEDCAP
-    seed_cnt_h = blob_i[off:off + R]; off += R
-    bad_h = blob_i[off:off + R]; off += R
+    if packed:
+        begend = blob_i[off:off + MEMCAP]; off += MEMCAP
+        mbeg_h = begend & 0x3FF
+        mend_h = begend >> 10
+        ms_h = blob_i[off:off + MEMCAP]; off += MEMCAP
+        qbln = blob_i[off:off + SEEDCAP]; off += SEEDCAP
+        qb_h = qbln & 0x3FF
+        ln_h = qbln >> 10
+        cntbad = blob_i[off:off + R]; off += R
+        seed_cnt_h = cntbad & 0xFFFFFF
+        bad_h = cntbad >> 24
+    else:
+        mbeg_h = blob_i[off:off + MEMCAP]; off += MEMCAP
+        mend_h = blob_i[off:off + MEMCAP]; off += MEMCAP
+        ms_h = blob_i[off:off + MEMCAP]; off += MEMCAP
+        qb_h = blob_i[off:off + SEEDCAP]; off += SEEDCAP
+        ln_h = blob_i[off:off + SEEDCAP]; off += SEEDCAP
+        seed_cnt_h = blob_i[off:off + R]; off += R
+        bad_h = blob_i[off:off + R]; off += R
     scal = blob_i[off:off + N_SCAL]
     mtotal_h, stotal_h, n_uniq_h = int(scal[0]), int(scal[1]), int(scal[2])
     oflags = scal[3:11]          # r1: pool/walk/fwd; r2: 3; merge; seeds
     npool_h, nu_h = int(scal[11]), int(scal[12])
     fq_h, fc_h = int(scal[13]), int(scal[14])
-    ms_h = blob_d[:MEMCAP]
-    rbeg_h = blob_d[MEMCAP:MEMCAP + SEEDCAP]
+    rbeg_h = blob_d[:SEEDCAP]
 
     valid_m = mrid_h >= 0
     mrid_v = mrid_h[valid_m][:mtotal_h]
@@ -335,15 +356,21 @@ class DeviceSeeder:
             return (rbeg, qb, ln, total, n_uniq, seed_cnt,
                     sovf | uovf | wovf)
 
+        packed = L < 1024                   # read positions fit 10 bits
+
         @jax.jit
         def j_pack(mok, mrid, ms, mbeg, mend, mtotal, rbeg, qb, ln,
                    stotal, n_uniq, seed_cnt, f1, f2, bad1, bad2, bad3,
                    f4, f5, n_pool, n_u, fqc, fcc):
             """Pack results into two blobs — every device->host transfer
             over the tunnel pays a large flat cost, so ship exactly two
-            arrays (one i32, one index-dtype).  f1/f2 are chunk-global
-            overflow vectors; bad1-3 are per-read overflow bitmaps
-            (scan/r2/r3) for per-read oracle fallback."""
+            arrays (one i32, one index-dtype) with bit-packed columns:
+            (beg | end<<10) and (qb | len<<10) share an int32 each, the
+            per-read seed count carries the fallback bit at bit 24, and
+            the occ column ships as clipped int32 (its consumers only
+            threshold it at max_occ).  f1/f2 are chunk-global overflow
+            vectors; bad1-3 are per-read overflow bitmaps (scan/r2/r3)
+            for per-read oracle fallback."""
             mrid2 = jnp.where(mok, mrid, -1)
             bad = (bad1 | bad2 | bad3).astype(i32)
             scalars = jnp.concatenate([
@@ -353,11 +380,23 @@ class DeviceSeeder:
                 jnp.stack([f4.astype(i32), f5.astype(i32),
                            n_pool.astype(i32), n_u.astype(i32),
                            fqc.astype(i32), fcc.astype(i32)])])
-            blob_i = jnp.concatenate([
-                mrid2.astype(i32), mbeg.astype(i32), mend.astype(i32),
-                qb.astype(i32), ln.astype(i32), seed_cnt.astype(i32),
-                bad, scalars])
-            blob_d = jnp.concatenate([ms, rbeg])
+            ms32 = jnp.where(mok, jnp.minimum(ms, (1 << 31) - 1), 0) \
+                .astype(i32)
+            if packed:
+                begend = jnp.where(
+                    mok, mbeg.astype(i32) | (mend.astype(i32) << 10), 0)
+                qbln = qb.astype(i32) | (ln.astype(i32) << 10)
+                cntbad = seed_cnt.astype(i32) | (bad << 24)
+                blob_i = jnp.concatenate([
+                    mrid2.astype(i32), begend, ms32, qbln, cntbad,
+                    scalars])
+                blob_d = rbeg
+            else:
+                blob_i = jnp.concatenate([
+                    mrid2.astype(i32), mbeg.astype(i32),
+                    mend.astype(i32), ms32, qb.astype(i32),
+                    ln.astype(i32), seed_cnt.astype(i32), bad, scalars])
+                blob_d = rbeg
             return blob_i, blob_d
 
         def whole(qd, rd):
@@ -379,7 +418,7 @@ class DeviceSeeder:
                           r2[8], r3[7], movf, sovf, n_pool, n_u, fqc, fcc)
 
         fns = dict(r1=j_round1, r2=j_round2, r3=j_round3, merge=j_merge,
-                   seeds=j_seeds, pack=j_pack, whole=whole,
+                   seeds=j_seeds, pack=j_pack, whole=whole, packed=packed,
                    sizes=(GP, T2, GP2, MEMCAP, SEEDCAP, UCAP))
         self._jits[key] = fns
         return fns
@@ -423,7 +462,8 @@ class DeviceSeeder:
         self.prof["device_s"] = time.time() - t0
 
         _, _, _, MEMCAP, SEEDCAP, _ = fns["sizes"]
-        res = unpack_blobs(blob_i, blob_d, R, MEMCAP, SEEDCAP, n_reads)
+        res = unpack_blobs(blob_i, blob_d, R, MEMCAP, SEEDCAP, n_reads,
+                           packed=fns["packed"])
 
         if res["oflags"].any():
             # chunk-global cap overflow (pool/walk/tasks/merge/seeds):

@@ -86,10 +86,10 @@ class ShardedSeeder(DeviceSeeder):
         blob_i, blob_d = jax.device_get(step(qd, rd))
         self.prof["device_s"] = time.time() - t0
 
-        _, _, _, MEMCAP, SEEDCAP, _ = self._jits[(R_shard, L)]["sizes"]
-        from compseed_tpu.ops.seeder2 import N_SCAL
-        BI = 3 * MEMCAP + 2 * SEEDCAP + 2 * R_shard + N_SCAL
-        BD = MEMCAP + SEEDCAP
+        fns = self._jits[(R_shard, L)]
+        _, _, _, MEMCAP, SEEDCAP, _ = fns["sizes"]
+        from compseed_tpu.ops.seeder2 import blob_sizes
+        BI, BD = blob_sizes(R_shard, MEMCAP, SEEDCAP, fns["packed"])
         blob_i = blob_i.reshape(S, BI)
         blob_d = blob_d.reshape(S, BD)
 
@@ -102,7 +102,7 @@ class ShardedSeeder(DeviceSeeder):
             if n_local <= 0:
                 break
             res = unpack_blobs(blob_i[s], blob_d[s], R_shard, MEMCAP,
-                               SEEDCAP, n_local)
+                               SEEDCAP, n_local, packed=fns["packed"])
             sub = queries[lo:hi]
             if res["oflags"].any():
                 # shard-level cap overflow: recompute just this shard's
