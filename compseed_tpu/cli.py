@@ -29,11 +29,30 @@ from compseed_tpu.pipeline.seeding import SeedingStats
 
 
 def cmd_index(argv: list[str]) -> int:
+    """bwaidx CLI surface (FM_index/index_main.c:211-255).  -a and -b
+    are accepted for compatibility: every algorithm choice maps to the
+    one 64-bit SA-IS builder (csrc/sais.cpp), which produces the
+    byte-identical index at every genome size (verified against the
+    reference's bwtsw path at 200 Mbp, scripts/scale_check.py)."""
     ap = argparse.ArgumentParser(prog="compseed-tpu index")
     ap.add_argument("fasta")
     ap.add_argument("-p", "--prefix", default=None)
+    ap.add_argument("-a", choices=["is", "bwtsw", "rb2", "auto"],
+                    default="auto", dest="algo",
+                    help="accepted for bwaidx compatibility; all map to "
+                         "the 64-bit SA-IS builder (same output bytes)")
+    ap.add_argument("-b", default=None, dest="block_size",
+                    help="bwtsw block size; ignored (no incremental "
+                         "construction is needed)")
+    ap.add_argument("-6", action="store_true", dest="name64",
+                    help="name index files <fasta>.64.*")
     args = ap.parse_args(argv)
-    prefix = args.prefix or args.fasta
+    prefix = args.prefix or (args.fasta + ".64" if args.name64
+                             else args.fasta)
+    if args.algo != "auto" or args.block_size is not None:
+        print(f"[index] -a {args.algo}: the 64-bit SA-IS builder covers "
+              "every genome size; output bytes are identical",
+              file=sys.stderr)
     t = time.time()
     built = build_index(args.fasta)
     save_index(prefix, built)
