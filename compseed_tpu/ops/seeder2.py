@@ -36,10 +36,10 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-# packed scalar tail of blob_i: [mtotal, stotal, n_uniq] + 8 overflow
+# packed scalar tail of blob_i: [mtotal, stotal, n_uniq] + 9 overflow
 # flags + [n_pool, n_u, fwd_queries, fwd_calls]
-N_SCAL = 15
-FWD_OVF_SLOT = 2                 # index within oflags of the fwd flag
+N_SCAL = 16
+FWD_OVF_SLOTS = (2, 8)           # oflags indices of the fwd-dedup flags
 
 
 def blob_sizes(R: int, MEMCAP: int, SEEDCAP: int,
@@ -79,9 +79,9 @@ def unpack_blobs(blob_i: np.ndarray, blob_d: np.ndarray, R: int,
         bad_h = blob_i[off:off + R]; off += R
     scal = blob_i[off:off + N_SCAL]
     mtotal_h, stotal_h, n_uniq_h = int(scal[0]), int(scal[1]), int(scal[2])
-    oflags = scal[3:11]          # r1: pool/walk/fwd; r2: 3; merge; seeds
-    npool_h, nu_h = int(scal[11]), int(scal[12])
-    fq_h, fc_h = int(scal[13]), int(scal[14])
+    oflags = scal[3:12]    # r1 pool/walk/fwd; r2 x3; merge; seeds; r3-fwd
+    npool_h, nu_h = int(scal[12]), int(scal[13])
+    fq_h, fc_h = int(scal[14]), int(scal[15])
     rbeg_h = blob_d[:SEEDCAP]
 
     valid_m = mrid_h >= 0
@@ -278,6 +278,23 @@ class DeviceSeeder:
         @jax.jit
         def j_round3(qarr, rlens):
             R_ = qarr.shape[0]
+            if use_fwd and int(opt.max_mem_intv) > 0:
+                # greedy round-3 through the forward-dedup worklist
+                # (tem_forward_sst, comp_seed.cpp:141-160): same sweep
+                # machinery in 'r3' mode — one rep walk per group
+                GP3 = R_ * MMEM3
+                pool3, n3, ovf3g, fq3, fc3 = ss.forward_scan_dedup(
+                    fm, qarr, rlens, GP3, fwd_stages, mode="r3",
+                    min_len=int(opt.min_seed_len),
+                    max_intv=int(opt.max_mem_intv))
+                valid3 = pool3[:, 6] != 0
+                rid3 = pool3[:, 5].astype(i32)
+                end3 = pool3[:, 3].astype(i32)
+                ok3 = valid3 & (pool3[:, 2] > 0)
+                ovf3 = jnp.zeros(R_, jnp.bool_)       # no per-read caps
+                return (ok3, rid3, pool3[:, 0], pool3[:, 1], pool3[:, 2],
+                        pool3[:, 4].astype(i32), end3, ovf3,
+                        ovf3g, fq3, fc3)
             packed = r3fn(qarr, rlens > 0)
             mems = packed[:, : MMEM3 * 5].reshape(R_, MMEM3, 5)
             n = packed[:, MMEM3 * 5].astype(i32)
@@ -291,7 +308,9 @@ class DeviceSeeder:
             ok3 = valid.reshape(-1) & (flat[:, 2] > 0) & \
                 (end3 <= rlens[rid3])
             return (ok3, rid3, flat[:, 0], flat[:, 1], flat[:, 2],
-                    flat[:, 3].astype(i32), end3, ovf3)
+                    flat[:, 3].astype(i32), end3, ovf3,
+                    jnp.asarray(False), jnp.asarray(0, i32),
+                    jnp.asarray(0, i32))
 
         @jax.jit
         def j_merge(ok1, rid1, k1, l1, s1, b1, e1,
@@ -361,7 +380,7 @@ class DeviceSeeder:
         @jax.jit
         def j_pack(mok, mrid, ms, mbeg, mend, mtotal, rbeg, qb, ln,
                    stotal, n_uniq, seed_cnt, f1, f2, bad1, bad2, bad3,
-                   f4, f5, n_pool, n_u, fqc, fcc):
+                   f4, f5, f6, n_pool, n_u, fqc, fcc):
             """Pack results into two blobs — every device->host transfer
             over the tunnel pays a large flat cost, so ship exactly two
             arrays (one i32, one index-dtype) with bit-packed columns:
@@ -378,6 +397,7 @@ class DeviceSeeder:
                            n_uniq.astype(i32)]),
                 f1.astype(i32), f2.astype(i32),
                 jnp.stack([f4.astype(i32), f5.astype(i32),
+                           f6.astype(i32),
                            n_pool.astype(i32), n_u.astype(i32),
                            fqc.astype(i32), fcc.astype(i32)])])
             ms32 = jnp.where(mok, jnp.minimum(ms, (1 << 31) - 1), 0) \
@@ -415,7 +435,8 @@ class DeviceSeeder:
             rbeg, qb, ln, stotal, n_uniq, seed_cnt, sovf = seeds
             return j_pack(mok, mrid, ms, mbeg, mend, mtotal, rbeg, qb, ln,
                           stotal, n_uniq, seed_cnt, ovf1, r2[7], bad1,
-                          r2[8], r3[7], movf, sovf, n_pool, n_u, fqc, fcc)
+                          r2[8], r3[7], movf, sovf, r3[8], n_pool, n_u,
+                          fqc + r3[9], fcc + r3[10])
 
         fns = dict(r1=j_round1, r2=j_round2, r3=j_round3, merge=j_merge,
                    seeds=j_seeds, pack=j_pack, whole=whole, packed=packed,
@@ -454,8 +475,8 @@ class DeviceSeeder:
         blob_i, blob_d = fns["pack"](mok, mrid, ms, mbeg, mend, mtotal,
                                      rbeg, qb, ln, stotal, n_uniq,
                                      seed_cnt, ovf1, r2[7], bad1, r2[8],
-                                     r3[7], movf, sovf, n_pool, n_u,
-                                     fqc, fcc)
+                                     r3[7], movf, sovf, r3[8], n_pool,
+                                     n_u, fqc + r3[9], fcc + r3[10])
 
         # ---- one sync point: pull the two packed result blobs
         blob_i, blob_d = jax.device_get((blob_i, blob_d))
@@ -495,7 +516,7 @@ class DeviceSeeder:
         """Adaptive response to a forward-dedup cap overflow: drop the
         forward path from future compiles (this input doesn't share
         enough), keeping everything else."""
-        if not self.fwd_disabled and oflags[FWD_OVF_SLOT]:
+        if not self.fwd_disabled and any(oflags[s] for s in FWD_OVF_SLOTS):
             import sys
             print("[M::seeder2] forward-sweep dedup caps overflowed; "
                   "disabling the forward path for subsequent chunks",
@@ -571,11 +592,11 @@ class DeviceSeeder:
         host = jax.device_get((mok, mrid, mk, ml, ms, mbeg, mend,
                                rbeg, qb, ln, stotal, seed_cnt,
                                ovf1, bad1, r2[7], r2[8], r3[7], movf,
-                               sovf))
+                               sovf, r3[8]))
         (mok_h, mrid_h, mk_h, ml_h, ms_h, mbeg_h, mend_h,
          rbeg_h, qb_h, ln_h, stotal_h, seed_cnt_h,
-         o1, o2, o3, o4, o5, o6, o7) = host
-        if any(np.any(x) for x in (o1, o2, o3, o4, o5, o6, o7)):
+         o1, o2, o3, o4, o5, o6, o7, o8) = host
+        if any(np.any(x) for x in (o1, o2, o3, o4, o5, o6, o7, o8)):
             from compseed_tpu.ops.smem import BatchSeeder
             return BatchSeeder(opt or self.opt, self.fm, self.dfi)(
                 fm, opt or self.opt, queries, stats)

@@ -421,7 +421,8 @@ def next_nonamb(qarr):
 
 
 def _fwd_stage_walk(fm: DeviceFMIndex, qflat, nxtflat, L: int, B: int,
-                    state, mh, advance: bool):
+                    state, mh, advance: bool, mode: str = "lep",
+                    min_len: int = 0, max_intv: int = 0):
     """Walk up to B forward-sweep iterations for U representative lanes,
     INCLUDING pivot respawns, as long as every consumed position stays
     inside the lane's content window [pos0, pos0+B) — the region the
@@ -466,18 +467,33 @@ def _fwd_stage_walk(fm: DeviceFMIndex, qflat, nxtflat, L: int, B: int,
         okc = jnp.take_along_axis(
             ok, c[:, None, None].astype(i32), axis=1)[:, 0, :]
         amb = base > 3
-        changed = okc[:, 2] != st["s"]
-        small = okc[:, 2] < mh
-        push = active & (amb | changed)
-        stop = active & (amb | (changed & small))
-        cont = active & ~stop
+        if mode == "r3":
+            # greedy round-3 segment (bwt_seed_strategy1, bwt.c:358-379):
+            # emit the POST-extension interval when it first drops below
+            # max_intv at length >= min_len, then restart past it
+            hit = active & ~amb & \
+                (okc[:, 2] < jnp.asarray(max_intv, fm.dtype)) & \
+                ((pos - st["pivot"]) >= jnp.asarray(min_len, i32))
+            push = hit
+            stop = active & (hit | amb)
+            cont = active & ~stop
+            rec_k, rec_l, rec_s = okc[:, 0], okc[:, 1], okc[:, 2]
+            rec_e = pos + 1
+        else:
+            changed = okc[:, 2] != st["s"]
+            small = okc[:, 2] < mh
+            push = active & (amb | changed)
+            stop = active & (amb | (changed & small))
+            cont = active & ~stop
+            rec_k, rec_l, rec_s = st["k"], st["l"], st["s"]
+            rec_e = pos
 
         st = dict(st)
         st["pf"] = st["pf"].at[:, j].set(push)
-        st["pk"] = st["pk"].at[:, j].set(st["k"])
-        st["pl"] = st["pl"].at[:, j].set(st["l"])
-        st["ps"] = st["ps"].at[:, j].set(st["s"])
-        st["pe"] = st["pe"].at[:, j].set(pos)
+        st["pk"] = st["pk"].at[:, j].set(rec_k)
+        st["pl"] = st["pl"].at[:, j].set(rec_l)
+        st["ps"] = st["ps"].at[:, j].set(rec_s)
+        st["pe"] = st["pe"].at[:, j].set(rec_e)
         st["pp"] = st["pp"].at[:, j].set(st["pivot"])
         st["steps"] = st["steps"] + active.astype(i32)
 
@@ -494,8 +510,11 @@ def _fwd_stage_walk(fm: DeviceFMIndex, qflat, nxtflat, L: int, B: int,
             # in-window respawn (_scan_one phase 0 without the extra
             # iteration): non-amb stop re-consumes `pos` as new pivot;
             # amb stop jumps to the next non-amb IF it stays inside the
-            # window — a content-determined decision, so group-safe
-            rs_here = stop & ~amb
+            # window — a content-determined decision, so group-safe.
+            # round 3 always restarts past the current position
+            # (bwt_seed_strategy1 returns i+1 on hit and amb alike)
+            rs_here = stop & ~amb if mode != "r3" else \
+                jnp.zeros_like(stop)
             npv = pos + 1
             nx = jnp.where(
                 npv < jnp.asarray(L, i32),
@@ -506,8 +525,9 @@ def _fwd_stage_walk(fm: DeviceFMIndex, qflat, nxtflat, L: int, B: int,
             # where lanes' beyond-window content may differ) must defer
             # to the per-lane boundary respawn
             in_win = (nx < pos_end) & (nx < jnp.asarray(L, i32))
-            rs_jump = stop & amb & in_win
-            park = stop & amb & ~in_win
+            jumper = stop if mode == "r3" else (stop & amb)
+            rs_jump = jumper & in_win
+            park = jumper & ~in_win
             newpiv = jnp.where(rs_here, pos, nx)
             respawn = rs_here | rs_jump
             baseN = jnp.where(
@@ -570,7 +590,8 @@ def fwd_stages_for(R: int, L: int):
 
 def forward_scan_dedup(fm: DeviceFMIndex, qarr, rlens, GP: int,
                        stages, min_hits=None, pivots0=None, rids=None,
-                       advance: bool = True):
+                       advance: bool = True, mode: str = "lep",
+                       min_len: int = 0, max_intv: int = 0):
     """Round-1 forward LEP scan with cross-read sweep deduplication.
 
     Produces the same LEP pool as make_scan(advance=True) + build_pool —
@@ -638,6 +659,11 @@ def forward_scan_dedup(fm: DeviceFMIndex, qarr, rlens, GP: int,
                 jnp.where(valid, k.astype(jnp.int64), big),
                 jnp.where(valid, s.astype(jnp.int64), big),
                 jnp.where(valid, mh.astype(jnp.int64), big)]
+        if mode == "r3":
+            # the hit test reads the segment length pos - pivot, so
+            # group members must share it
+            keys.append(jnp.where(valid, (pos - pivot).astype(jnp.int64),
+                                  big))
         order = jnp.lexsort(tuple(reversed(keys)))
         ks = [x[order] for x in keys]
         vs = valid[order]
@@ -662,7 +688,8 @@ def forward_scan_dedup(fm: DeviceFMIndex, qarr, rlens, GP: int,
             rid=lane_rid[rep_take],
             alive=alive[rep_take] & rep_valid)
         st = _fwd_stage_walk(fm, qflat, nxtflat, L, B, st, mh[rep_take],
-                             advance)
+                             advance, mode=mode, min_len=min_len,
+                             max_intv=max_intv)
         fq = fq + jnp.sum(jnp.where(valid, st["steps"][group], 0))
         fc = fc + jnp.sum(jnp.where(rep_valid, st["steps"], 0))
 
