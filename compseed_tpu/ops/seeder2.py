@@ -36,10 +36,10 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-# packed scalar tail of blob_i: [mtotal, stotal, n_uniq] + 9 overflow
+# packed scalar tail of blob_i: [mtotal, stotal, n_uniq] + 10 overflow
 # flags + [n_pool, n_u, fwd_queries, fwd_calls]
-N_SCAL = 16
-FWD_OVF_SLOTS = (2, 8)           # oflags indices of the fwd-dedup flags
+N_SCAL = 17
+FWD_OVF_SLOTS = (2, 6, 9)        # oflags indices of the fwd-dedup flags
 
 
 def blob_sizes(R: int, MEMCAP: int, SEEDCAP: int,
@@ -79,9 +79,9 @@ def unpack_blobs(blob_i: np.ndarray, blob_d: np.ndarray, R: int,
         bad_h = blob_i[off:off + R]; off += R
     scal = blob_i[off:off + N_SCAL]
     mtotal_h, stotal_h, n_uniq_h = int(scal[0]), int(scal[1]), int(scal[2])
-    oflags = scal[3:12]    # r1 pool/walk/fwd; r2 x3; merge; seeds; r3-fwd
-    npool_h, nu_h = int(scal[12]), int(scal[13])
-    fq_h, fc_h = int(scal[14]), int(scal[15])
+    oflags = scal[3:13]    # r1 pool/walk/fwd; r2 x4; merge; seeds; r3-fwd
+    npool_h, nu_h = int(scal[13]), int(scal[14])
+    fq_h, fc_h = int(scal[15]), int(scal[16])
     rbeg_h = blob_d[:SEEDCAP]
 
     valid_m = mrid_h >= 0
@@ -175,6 +175,8 @@ class DeviceSeeder:
         r2_dedup = self.r2_dedup
 
         fwd_stages = ss.fwd_stages_for(R, L)
+        # round-2 tasks run ONE sweep each; conservative rep caps
+        fwd_stages2 = [(T2, 8), (T2, 24), (T2, MAXW)]
         use_fwd = use_dedup and not self.fwd_disabled
 
         @jax.jit
@@ -233,19 +235,36 @@ class DeviceSeeder:
             t_rid = jnp.where(t_valid, rid[take], 0)
             t_mid = jnp.where(t_valid, (beg[take] + end[take]) // 2, 0)
             t_mh = jnp.where(t_valid, s[take] + 1, 1)
-            q2 = qarr[t_rid]
-            rl2 = rlens[t_rid]
-            lep2, cnt2, sovf2 = scan2(q2, rl2, t_mid.astype(i32),
-                                      t_mh.astype(i32), t_valid)
-            pool2, n2, povf2 = ss.build_pool(lep2, cnt2, GP2)
             qflat = qarr.reshape(-1)
-            # pool2 col 5 is the task index (build_pool's "read id" was the
+            R_ = qarr.shape[0]
+            fovf2 = jnp.asarray(False)
+            fq2 = fc2 = jnp.asarray(0, i32)
+            if use_fwd:
+                # round-2 re-seed scans through the forward-dedup
+                # worklist: per-lane pivots/min_hits, single sweep
+                pool2, n2, fovf2, fq2, fc2 = ss.forward_scan_dedup(
+                    fm, qarr, rlens, GP2, fwd_stages2, min_hits=t_mh,
+                    pivots0=t_mid.astype(i32), rids=t_rid.astype(i32),
+                    advance=False, record_lane_index=True,
+                    active=t_valid)
+                bad = jnp.zeros(R_, jnp.bool_)
+            else:
+                q2 = qarr[t_rid]
+                rl2 = rlens[t_rid]
+                lep2, cnt2, sovf2 = scan2(q2, rl2, t_mid.astype(i32),
+                                          t_mh.astype(i32), t_valid)
+                pool2, n2, _povf2 = ss.build_pool(lep2, cnt2, GP2)
+                fovf2 = fovf2 | _povf2
+                bad = jnp.zeros(R_, jnp.bool_).at[t_rid].max(
+                    t_valid & (sovf2 != 0))           # per read
+            # pool2 col 5 is the task index (the scan's "read id" was the
             # task lane); remap to the real read id for the walks' q-row
             # lookup, and append the task index as the grouping column
             tix = pool2[:, 5].astype(i32)
             pool2 = pool2.at[:, 5].set(t_rid[tix].astype(dt))
             pool2 = jnp.concatenate([pool2, tix[:, None].astype(dt)],
                                     axis=1)
+            povf2 = jnp.asarray(False)
             # Round-2 walk dedup is gated by COMPSEED_R2_DEDUP=1: a first
             # attempt showed pathological j_round2 compile time, but that
             # measurement coincided with the TPU tunnel degrading, so the
@@ -269,11 +288,9 @@ class DeviceSeeder:
                     fm, qflat, L, pool2, stages2, mh=mh_rows)
             ok2, rid2, k2, l2, s2, beg2, end2 = ss.reconstruct(
                 pool2, death2, fk2, fl2, fs2, opt.min_seed_len, (7,))
-            flags = jnp.stack([tovf, povf2, wovf2])   # chunk-global
-            R_ = qarr.shape[0]
-            bad = jnp.zeros(R_, jnp.bool_).at[t_rid].max(
-                t_valid & (sovf2 != 0))               # per read
-            return ok2, rid2, k2, l2, s2, beg2, end2, flags, bad
+            flags = jnp.stack([tovf, povf2, wovf2, fovf2])  # chunk-global
+            return (ok2, rid2, k2, l2, s2, beg2, end2, flags, bad,
+                    fq2, fc2)
 
         @jax.jit
         def j_round3(qarr, rlens):
@@ -436,7 +453,7 @@ class DeviceSeeder:
             return j_pack(mok, mrid, ms, mbeg, mend, mtotal, rbeg, qb, ln,
                           stotal, n_uniq, seed_cnt, ovf1, r2[7], bad1,
                           r2[8], r3[7], movf, sovf, r3[8], n_pool, n_u,
-                          fqc + r3[9], fcc + r3[10])
+                          fqc + r2[9] + r3[9], fcc + r2[10] + r3[10])
 
         fns = dict(r1=j_round1, r2=j_round2, r3=j_round3, merge=j_merge,
                    seeds=j_seeds, pack=j_pack, whole=whole, packed=packed,
@@ -476,7 +493,8 @@ class DeviceSeeder:
                                      rbeg, qb, ln, stotal, n_uniq,
                                      seed_cnt, ovf1, r2[7], bad1, r2[8],
                                      r3[7], movf, sovf, r3[8], n_pool,
-                                     n_u, fqc + r3[9], fcc + r3[10])
+                                     n_u, fqc + r2[9] + r3[9],
+                                     fcc + r2[10] + r3[10])
 
         # ---- one sync point: pull the two packed result blobs
         blob_i, blob_d = jax.device_get((blob_i, blob_d))

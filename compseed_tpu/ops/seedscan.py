@@ -591,7 +591,8 @@ def fwd_stages_for(R: int, L: int):
 def forward_scan_dedup(fm: DeviceFMIndex, qarr, rlens, GP: int,
                        stages, min_hits=None, pivots0=None, rids=None,
                        advance: bool = True, mode: str = "lep",
-                       min_len: int = 0, max_intv: int = 0):
+                       min_len: int = 0, max_intv: int = 0,
+                       record_lane_index: bool = False, active=None):
     """Round-1 forward LEP scan with cross-read sweep deduplication.
 
     Produces the same LEP pool as make_scan(advance=True) + build_pool —
@@ -625,6 +626,8 @@ def forward_scan_dedup(fm: DeviceFMIndex, qarr, rlens, GP: int,
     alive = (pivot < lane_rlen) & (lane_rlen > 0)
     if pivots0 is not None:
         alive = alive & (p0 < lane_rlen)
+    if active is not None:
+        alive = alive & active
     base0 = qflat[jnp.clip(lane_rid * L + pivot, 0, qflat.shape[0] - 1)]
     ik0 = _set_intv(fm, jnp.clip(base0.astype(i32), 0, 3)).T   # (n, 3)
     k = jnp.where(alive, ik0[:, 0], 0)
@@ -717,13 +720,15 @@ def forward_scan_dedup(fm: DeviceFMIndex, qarr, rlens, GP: int,
         pivs = jnp.where(st["pp"][group] == piv0_g[:, None],
                          pivot[:, None],
                          st["pp"][group] + delta[:, None])
+        row_id = jnp.arange(n_lanes, dtype=i32) if record_lane_index \
+            else lane_rid
         rows = jnp.stack([
             st["pk"][group].reshape(-1),
             st["pl"][group].reshape(-1),
             st["ps"][group].reshape(-1),
             ends.reshape(-1).astype(dt),
             pivs.reshape(-1).astype(dt),
-            jnp.broadcast_to(lane_rid[:, None], (n_lanes, B))
+            jnp.broadcast_to(row_id[:, None], (n_lanes, B))
             .reshape(-1).astype(dt),
             jnp.ones(n_lanes * B, dt)], axis=1)               # (n*B, 7)
         pflat = pf.reshape(-1)
