@@ -102,6 +102,11 @@ def cmd_mem(argv: list[str]) -> int:
     ap.add_argument("-R", type=str, default=None, dest="rg_line")
     ap.add_argument("-H", type=str, default=None, dest="hdr_line")
     ap.add_argument("-o", type=str, default=None, dest="output")
+    ap.add_argument("-f", type=str, default=None, dest="output_f",
+                    help="alias of -o (fastmap.c:259-260)")
+    ap.add_argument("-m", type=int, default=None, dest="max_matesw")
+    ap.add_argument("-1", action="store_true", dest="single_io",
+                    help="disable the reader/writer IO threads")
     ap.add_argument("-a", action="store_true", dest="all_aln")
     ap.add_argument("-C", action="store_true", dest="copy_comment")
     ap.add_argument("-V", action="store_true", dest="ref_hdr")
@@ -147,6 +152,9 @@ def cmd_mem(argv: list[str]) -> int:
     setopt("b", args.mismatch)
     setopt("pen_unpaired", args.pen_unpaired)
     setopt("T", args.score_T)
+    setopt("max_matesw", args.max_matesw)
+    if args.output_f and not args.output:
+        args.output = args.output_f
     if args.mask_level is not None:
         opt.mask_level = args.mask_level
     if args.gap_open is not None:
@@ -296,8 +304,11 @@ def cmd_mem(argv: list[str]) -> int:
     import queue
     import threading
 
-    q_in: "queue.Queue" = queue.Queue(maxsize=2)
-    q_out: "queue.Queue" = queue.Queue(maxsize=4)
+    # -1 (no_mt_io, fastmap.c:234): no IO/compute overlap — queues of
+    # depth 1 serialize the reader/aligner/writer hand-offs
+    qcap_in, qcap_out = (1, 1) if args.single_io else (2, 4)
+    q_in: "queue.Queue" = queue.Queue(maxsize=qcap_in)
+    q_out: "queue.Queue" = queue.Queue(maxsize=qcap_out)
 
     def _reader():
         try:
