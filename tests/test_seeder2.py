@@ -245,3 +245,29 @@ def test_forward_scan_dedup_overflow_flag(tiny_fm):
     _, _, ovf, _, _ = ss.forward_scan_dedup(
         dfi, jnp.asarray(qarr), jnp.asarray(rlens), 48 * R, stages)
     assert bool(ovf)
+
+
+def test_forward_dedup_adaptive_disable(tiny_fm, monkeypatch):
+    """A forward-cap overflow must (a) fall back to exact results for
+    that chunk and (b) disable the forward path for subsequent chunks
+    instead of overflowing every time."""
+    import numpy as np
+    from compseed_tpu.ops import seedscan as ss
+
+    opt = MemOptions()
+    queries = _fixture_queries(48)
+    # force-overflow caps: one rep lane, tiny budgets
+    monkeypatch.setattr(ss, "fwd_stages_for",
+                        lambda R, L: [(1, 8), (1, L + 2), (1, L + 2)])
+    sd = DeviceSeeder(opt, tiny_fm, dedup=True)
+    assert not sd.fwd_disabled
+    m1, mo1, s1, so1 = sd.run_flat(queries)
+    assert sd.last_overflow          # chunk fell back...
+    assert sd.fwd_disabled           # ...and the path self-disabled
+    m2, mo2, s2, so2 = sd.run_flat(queries)
+    assert not sd.last_overflow      # non-fwd path, no overflow
+    assert np.array_equal(m1, m2) and np.array_equal(s1, s2)
+    for r, q in enumerate(queries):
+        want = seeding.collect_matches(tiny_fm, opt, q)
+        got = [tuple(int(x) for x in row) for row in m2[mo2[r]:mo2[r+1]]]
+        assert got == [(b, e, s) for (_, _, s, b, e) in want], f"read {r}"
