@@ -13,9 +13,12 @@ Optionally (--verify, adds hours) also builds with the reference bwaidx
 and byte-compares all five index files.
 
 Run:  python scripts/hg19_scale.py [--mbp 3100] [--verify]
-(The reference builds hg19 in ~10 GB RAM but hours of BWT-SW; ours
-trades RAM — abundant on TPU hosts — for a single linear-time pass.
-Measured result recorded in PARITY.md row 4 after the run.)
+Measured 2026-08-17 (this host: 1 CPU core, 125 GB RAM):
+  3,100 Mbp (24 chromosomes, 6.2 G suffix positions) built in 5,888 s
+  + 194 s write, peak RSS 79.7 GB; outputs .bwt 3.10 GB, .sa 1.55 GB,
+  .pac 0.77 GB.  (The reference builds hg19 in ~10 GB RAM but needs
+  hours of incremental BWT-SW; ours trades RAM — abundant on TPU
+  hosts — for one linear-time pass.)
 """
 
 from __future__ import annotations
