@@ -234,7 +234,15 @@ def cmd_mem(argv: list[str]) -> int:
                 rg_id = field[3:]
         hdr_extra = rg
     if args.hdr_line:
-        hdr_extra = (hdr_extra + "\n" if hdr_extra else "") + args.hdr_line
+        # -H: a literal header line if it starts with '@', else a FILE
+        # of header lines (fastmap.c:250-265)
+        if args.hdr_line.startswith("@"):
+            lines = [args.hdr_line]
+        else:
+            with open(args.hdr_line) as hf:
+                lines = [l.rstrip("\n") for l in hf if l.strip()]
+        for line in lines:
+            hdr_extra = (hdr_extra + "\n" if hdr_extra else "") + line
 
     # shm-staged index first (bwa_idx_load_from_shm, main.cpp:389-393)
     from compseed_tpu.index import shm as shm_mod
