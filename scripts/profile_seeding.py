@@ -16,6 +16,15 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
+# honor an explicit cpu request (the machine profile pins the TPU via
+# jax.config, which beats the env var alone)
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    try:
+        import jax as _jax
+        _jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
 import numpy as np
 
 
@@ -66,7 +75,8 @@ def main():
 
     t_r1 = timed("r1 scan+walk(+dedup)", fns["r1"], qd, rd)
     r1 = fns["r1"](qd, rd)
-    pool, ok, rid, k, l, s, beg, end, ovf1, bad1, n_pool, n_u = r1
+    (pool, ok, rid, k, l, s, beg, end, ovf1, bad1, n_pool, n_u,
+     fqc, fcc) = r1
     t_r2 = timed("r2 reseed", fns["r2"], qd, rd, ok, rid, k, s, beg, end)
     r2 = fns["r2"](qd, rd, ok, rid, k, s, beg, end)
     t_r3 = timed("r3 greedy", fns["r3"], qd, rd)
@@ -80,13 +90,15 @@ def main():
     seeds = fns["seeds"](mok, mrid, mk, ms, mbeg, mend)
     t_pk = timed("pack blobs", fns["pack"], mok, mrid, ms, mbeg, mend,
                  merged[7], *seeds[:4], seeds[4], seeds[5], ovf1, r2[7],
-                 bad1, r2[8], r3[7], merged[8], seeds[6], n_pool, n_u)
+                 bad1, r2[8], r3[7], merged[8], seeds[6], r3[8],
+                 n_pool, n_u, fqc + r2[9] + r3[9], fcc + r2[10] + r3[10])
     total = t_r1 + t_r2 + t_r3 + t_mg + t_sd + t_pk
     print(f"{'TOTAL seeding':28s} {total * 1e3:9.2f} ms "
           f"({CHUNK / total:.0f} reads/s seeding-only)")
     print(f"volumes: n_pool={int(n_pool)} n_u={int(n_u)} "
           f"mems={int(merged[7])} seeds={int(seeds[3])} "
-          f"sal_uniq={int(seeds[4])}")
+          f"sal_uniq={int(seeds[4])} fwd_q={int(fqc + r2[9] + r3[9])} "
+          f"fwd_c={int(fcc + r2[10] + r3[10])}")
 
     # ---- microbenches: the primitive rates that bound everything
     dfi = seeder.dfi
@@ -106,14 +118,14 @@ def main():
     from compseed_tpu.ops.fm import extend_batch
     B = 1 << 14
     rng = np.random.default_rng(1)
-    kk = jnp.asarray(rng.integers(0, dfi.seq_len, B).astype(dfi.dtype))
-    ll = jnp.asarray(rng.integers(0, dfi.seq_len, B).astype(dfi.dtype))
-    ss = jnp.ones(B, dfi.dtype)
-    cc = jnp.asarray(rng.integers(0, 4, B).astype(np.int32))
-    g = jax.jit(lambda *a: extend_batch(dfi, *a))
-    g(kk, ll, ss, cc)
+    ik = jnp.asarray(np.stack([
+        rng.integers(0, dfi.seq_len, B),
+        rng.integers(0, dfi.seq_len, B),
+        np.ones(B)], axis=1).astype(dfi.dtype))
+    g = jax.jit(lambda a: extend_batch(dfi, a, False))
+    g(ik)
     t0 = time.time()
-    jax.block_until_ready(g(kk, ll, ss, cc))
+    jax.block_until_ready(g(ik))
     dt = time.time() - t0
     print(f"extend_batch B={B}: {B / dt / 1e6:8.1f} M ext/s "
           f"({dt * 1e3:.2f} ms)")
