@@ -161,10 +161,16 @@ class DeviceSeeder:
                    (GP // 16, MAXW)]
         stages2 = [(GP2, 6), (GP2 // 2, 24), (GP2 // 8, MAXW)]
 
-        scan1 = ss.make_scan(fm, L, CAPL, advance=True)
-        scan2 = ss.make_scan(fm, L, CAPL2, advance=False)
-        r3fn = jax.vmap(partial(_seed_strategy_one, fm, L,
-                                opt.min_seed_len, int(opt.max_mem_intv)))
+        # the index is a CALL-TIME argument to every jitted program so
+        # its multi-GB arrays are runtime operands, not captured
+        # constants (at hg19 scale each embedded copy costs 2.3+ GB of
+        # executable memory)
+        scan1 = ss.make_scan(None, L, CAPL, advance=True)
+        scan2 = ss.make_scan(None, L, CAPL2, advance=False)
+        r3fn = jax.vmap(
+            lambda fm_, q, act: _seed_strategy_one(
+                fm_, L, opt.min_seed_len, int(opt.max_mem_intv), q, act),
+            in_axes=(None, 0, 0))
 
         CAP_U = GP // 2
         stages_u = [(CAP_U, 4), (CAP_U // 2, 10), (CAP_U // 4, 28),
@@ -180,7 +186,7 @@ class DeviceSeeder:
         use_fwd = use_dedup and not self.fwd_disabled
 
         @jax.jit
-        def j_round1(qarr, rlens):
+        def j_round1(fm, qarr, rlens):
             R_ = qarr.shape[0]
             qflat = qarr.reshape(-1)
             fovf = jnp.asarray(False)
@@ -195,8 +201,8 @@ class DeviceSeeder:
                 povf = jnp.asarray(False)
             else:
                 z = jnp.zeros(R_, i32)
-                lep, cnt, sovf = scan1(qarr, rlens, z, jnp.ones(R_, i32),
-                                       rlens > 0)
+                lep, cnt, sovf = scan1(fm, qarr, rlens, z,
+                                       jnp.ones(R_, i32), rlens > 0)
                 pool, n_pool, povf = ss.build_pool(lep, cnt, GP)
                 fqc = fcc = jnp.asarray(0, i32)
                 bad = sovf != 0                       # per read
@@ -225,7 +231,7 @@ class DeviceSeeder:
                     n_pool, n_u, fqc, fcc)
 
         @jax.jit
-        def j_round2(qarr, rlens, ok, rid, k, s, beg, end):
+        def j_round2(fm, qarr, rlens, ok, rid, k, s, beg, end):
             # task extraction (comp_seed.cpp:2274-2286)
             sel = ok & ((end - beg) >= split_len) & (s <= opt.split_width)
             order = jnp.argsort(~sel, stable=True)
@@ -251,7 +257,7 @@ class DeviceSeeder:
             else:
                 q2 = qarr[t_rid]
                 rl2 = rlens[t_rid]
-                lep2, cnt2, sovf2 = scan2(q2, rl2, t_mid.astype(i32),
+                lep2, cnt2, sovf2 = scan2(fm, q2, rl2, t_mid.astype(i32),
                                           t_mh.astype(i32), t_valid)
                 pool2, n2, _povf2 = ss.build_pool(lep2, cnt2, GP2)
                 fovf2 = fovf2 | _povf2
@@ -293,7 +299,7 @@ class DeviceSeeder:
                     fq2, fc2)
 
         @jax.jit
-        def j_round3(qarr, rlens):
+        def j_round3(fm, qarr, rlens):
             R_ = qarr.shape[0]
             if use_fwd and int(opt.max_mem_intv) > 0:
                 # greedy round-3 through the forward-dedup worklist
@@ -312,7 +318,7 @@ class DeviceSeeder:
                 return (ok3, rid3, pool3[:, 0], pool3[:, 1], pool3[:, 2],
                         pool3[:, 4].astype(i32), end3, ovf3,
                         ovf3g, fq3, fc3)
-            packed = r3fn(qarr, rlens > 0)
+            packed = r3fn(fm, qarr, rlens > 0)
             mems = packed[:, : MMEM3 * 5].reshape(R_, MMEM3, 5)
             n = packed[:, MMEM3 * 5].astype(i32)
             ovf3 = packed[:, MMEM3 * 5 + 1] != 0      # per read
@@ -350,7 +356,7 @@ class DeviceSeeder:
                     beg[take], end[take], total, movf)
 
         @jax.jit
-        def j_seeds(ok, rid, k, s, beg, end):
+        def j_seeds(fm, ok, rid, k, s, beg, end):
             # sampling (comp_seed.cpp:2309-2325)
             s64 = s
             step = jnp.where(s64 > opt.max_occ,
@@ -436,19 +442,19 @@ class DeviceSeeder:
                 blob_d = rbeg
             return blob_i, blob_d
 
-        def whole(qd, rd):
+        def whole(fm, qd, rd):
             """The full per-shard seeding program r1→pack as one traced
             function — the unit the multi-chip path shard_maps over the
             mesh (each device seeds its own read sub-batch with a
             replicated index, like each kt_for thread owning a private
             SST over its tile, comp_seed.cpp:2541-2548)."""
             (pool, ok, rid, k, l, s, beg, end, ovf1, bad1, n_pool, n_u,
-             fqc, fcc) = j_round1(qd, rd)
-            r2 = j_round2(qd, rd, ok, rid, k, s, beg, end)
-            r3 = j_round3(qd, rd)
+             fqc, fcc) = j_round1(fm, qd, rd)
+            r2 = j_round2(fm, qd, rd, ok, rid, k, s, beg, end)
+            r3 = j_round3(fm, qd, rd)
             merged = j_merge(ok, rid, k, l, s, beg, end, *r2[:7], *r3[:7])
             mok, mrid, mk, ml, ms, mbeg, mend, mtotal, movf = merged
-            seeds = j_seeds(mok, mrid, mk, ms, mbeg, mend)
+            seeds = j_seeds(fm, mok, mrid, mk, ms, mbeg, mend)
             rbeg, qb, ln, stotal, n_uniq, seed_cnt, sovf = seeds
             return j_pack(mok, mrid, ms, mbeg, mend, mtotal, rbeg, qb, ln,
                           stotal, n_uniq, seed_cnt, ovf1, r2[7], bad1,
@@ -481,13 +487,13 @@ class DeviceSeeder:
         self.last_qd = qd
         self.last_L = L
         (pool, ok, rid, k, l, s, beg, end, ovf1, bad1, n_pool, n_u,
-         fqc, fcc) = fns["r1"](qd, rd)
-        r2 = fns["r2"](qd, rd, ok, rid, k, s, beg, end)
-        r3 = fns["r3"](qd, rd)
+         fqc, fcc) = fns["r1"](self.dfi, qd, rd)
+        r2 = fns["r2"](self.dfi, qd, rd, ok, rid, k, s, beg, end)
+        r3 = fns["r3"](self.dfi, qd, rd)
         merged = fns["merge"](ok, rid, k, l, s, beg, end,
                               *r2[:7], *r3[:7])
         mok, mrid, mk, ml, ms, mbeg, mend, mtotal, movf = merged
-        seeds = fns["seeds"](mok, mrid, mk, ms, mbeg, mend)
+        seeds = fns["seeds"](self.dfi, mok, mrid, mk, ms, mbeg, mend)
         rbeg, qb, ln, stotal, n_uniq, seed_cnt, sovf = seeds
         blob_i, blob_d = fns["pack"](mok, mrid, ms, mbeg, mend, mtotal,
                                      rbeg, qb, ln, stotal, n_uniq,
@@ -599,13 +605,13 @@ class DeviceSeeder:
         qd = jnp.asarray(qarr)
         rd = jnp.asarray(rlens)
         (pool, ok, rid, k, l, s, beg, end, ovf1, bad1, n_pool, n_u,
-         fqc, fcc) = fns["r1"](qd, rd)
-        r2 = fns["r2"](qd, rd, ok, rid, k, s, beg, end)
-        r3 = fns["r3"](qd, rd)
+         fqc, fcc) = fns["r1"](self.dfi, qd, rd)
+        r2 = fns["r2"](self.dfi, qd, rd, ok, rid, k, s, beg, end)
+        r3 = fns["r3"](self.dfi, qd, rd)
         merged = fns["merge"](ok, rid, k, l, s, beg, end,
                               *r2[:7], *r3[:7])
         mok, mrid, mk, ml, ms, mbeg, mend, mtotal, movf = merged
-        seeds = fns["seeds"](mok, mrid, mk, ms, mbeg, mend)
+        seeds = fns["seeds"](self.dfi, mok, mrid, mk, ms, mbeg, mend)
         rbeg, qb, ln, stotal, n_uniq, seed_cnt, sovf = seeds
         host = jax.device_get((mok, mrid, mk, ml, ms, mbeg, mend,
                                rbeg, qb, ln, stotal, seed_cnt,

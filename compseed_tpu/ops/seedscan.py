@@ -144,15 +144,18 @@ def _scan_one(fm: DeviceFMIndex, L: int, capl: int, advance: bool,
 
 
 def make_scan(fm: DeviceFMIndex, L: int, capl: int, advance: bool):
-    f = jax.vmap(partial(_scan_one, fm, L, capl, advance),
-                 in_axes=(0, 0, 0, 0, 0))
+    """fm here only pins the static dtype; the runner takes the index as
+    a call-time argument so jitted callers treat its arrays as operands
+    instead of multi-GB captured constants (hg19-scale HBM hygiene)."""
+    f = jax.vmap(lambda fm_, *a: _scan_one(fm_, L, capl, advance, *a),
+                 in_axes=(None, 0, 0, 0, 0, 0))
 
-    def run(qarr, rlens, pivots, min_hits, active):
-        lep, cnt, ovf = f(qarr, rlens, pivots, min_hits, active)
+    def run(fm_, qarr, rlens, pivots, min_hits, active):
+        lep, cnt, ovf = f(fm_, qarr, rlens, pivots, min_hits, active)
         R = qarr.shape[0]
         return lep.reshape(R, capl, 5), cnt, ovf
 
-    return run
+    return partial(run, fm) if fm is not None else run
 
 
 # ----------------------------------------------------------------------

@@ -53,7 +53,7 @@ class ShardedSeeder(DeviceSeeder):
         fns = self._build(R_shard, L)
         step = jax.jit(jax.shard_map(
             fns["whole"], mesh=self.mesh,
-            in_specs=(P("data", None), P("data")),
+            in_specs=(P(), P("data", None), P("data")),
             out_specs=(P("data"), P("data")),
             check_vma=False))
         self._sharded[key] = step
@@ -83,7 +83,7 @@ class ShardedSeeder(DeviceSeeder):
         self.last_qd = qd
         self.last_L = L
         self.last_row_map = row_map
-        blob_i, blob_d = jax.device_get(step(qd, rd))
+        blob_i, blob_d = jax.device_get(step(self.dfi, qd, rd))
         self.prof["device_s"] = time.time() - t0
 
         fns = self._jits[(R_shard, L)]

@@ -73,21 +73,23 @@ def main():
     fns = seeder._build(Rb, Lb)
     qd, rd = jnp.asarray(qa), jnp.asarray(rl)
 
-    t_r1 = timed("r1 scan+walk(+dedup)", fns["r1"], qd, rd)
-    r1 = fns["r1"](qd, rd)
+    dfi0 = seeder.dfi
+    t_r1 = timed("r1 scan+walk(+dedup)", fns["r1"], dfi0, qd, rd)
+    r1 = fns["r1"](dfi0, qd, rd)
     (pool, ok, rid, k, l, s, beg, end, ovf1, bad1, n_pool, n_u,
      fqc, fcc) = r1
-    t_r2 = timed("r2 reseed", fns["r2"], qd, rd, ok, rid, k, s, beg, end)
-    r2 = fns["r2"](qd, rd, ok, rid, k, s, beg, end)
-    t_r3 = timed("r3 greedy", fns["r3"], qd, rd)
-    r3 = fns["r3"](qd, rd)
+    t_r2 = timed("r2 reseed", fns["r2"], dfi0, qd, rd, ok, rid, k, s,
+                 beg, end)
+    r2 = fns["r2"](dfi0, qd, rd, ok, rid, k, s, beg, end)
+    t_r3 = timed("r3 greedy", fns["r3"], dfi0, qd, rd)
+    r3 = fns["r3"](dfi0, qd, rd)
     t_mg = timed("merge/lexsort", fns["merge"], ok, rid, k, l, s, beg,
                  end, *r2[:7], *r3[:7])
     merged = fns["merge"](ok, rid, k, l, s, beg, end, *r2[:7], *r3[:7])
     mok, mrid, mk, ml, ms, mbeg, mend, mtotal, movf = merged
-    t_sd = timed("SAL walks + seeds", fns["seeds"], mok, mrid, mk, ms,
-                 mbeg, mend)
-    seeds = fns["seeds"](mok, mrid, mk, ms, mbeg, mend)
+    t_sd = timed("SAL walks + seeds", fns["seeds"], dfi0, mok, mrid, mk,
+                 ms, mbeg, mend)
+    seeds = fns["seeds"](dfi0, mok, mrid, mk, ms, mbeg, mend)
     t_pk = timed("pack blobs", fns["pack"], mok, mrid, ms, mbeg, mend,
                  merged[7], *seeds[:4], seeds[4], seeds[5], ovf1, r2[7],
                  bad1, r2[8], r3[7], merged[8], seeds[6], r3[8],
