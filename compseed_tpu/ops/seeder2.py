@@ -36,10 +36,11 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-# packed scalar tail of blob_i: [mtotal, stotal, n_uniq] + 10 overflow
+# packed scalar tail of blob_i: [mtotal, stotal, n_uniq] + 11 overflow
 # flags + [n_pool, n_u, fwd_queries, fwd_calls]
-N_SCAL = 17
-FWD_OVF_SLOTS = (2, 6, 9)        # oflags indices of the fwd-dedup flags
+N_SCAL = 18
+FWD_OVF_SLOTS = (2, 7, 10)       # oflags indices of the fwd-dedup flags
+BWD_OVF_SLOT = 3                 # backward (walk) dedup cap overflow
 
 
 def blob_sizes(R: int, MEMCAP: int, SEEDCAP: int,
@@ -79,9 +80,9 @@ def unpack_blobs(blob_i: np.ndarray, blob_d: np.ndarray, R: int,
         bad_h = blob_i[off:off + R]; off += R
     scal = blob_i[off:off + N_SCAL]
     mtotal_h, stotal_h, n_uniq_h = int(scal[0]), int(scal[1]), int(scal[2])
-    oflags = scal[3:13]    # r1 pool/walk/fwd; r2 x4; merge; seeds; r3-fwd
-    npool_h, nu_h = int(scal[13]), int(scal[14])
-    fq_h, fc_h = int(scal[15]), int(scal[16])
+    oflags = scal[3:14]  # r1 pool/walk/fwd/bwd; r2 x4; merge; seeds; r3
+    npool_h, nu_h = int(scal[14]), int(scal[15])
+    fq_h, fc_h = int(scal[16]), int(scal[17])
     rbeg_h = blob_d[:SEEDCAP]
 
     valid_m = mrid_h >= 0
@@ -132,10 +133,12 @@ class DeviceSeeder:
         self.dedup = dedup
         self.r2_dedup = dedup and \
             os.environ.get("COMPSEED_R2_DEDUP", "0") == "1"
-        # forward-sweep dedup disables itself after a cap overflow (low-
+        # the dedup passes disable themselves after a cap overflow (low-
         # sharing input would otherwise fall back every chunk)
         self.fwd_disabled = \
             os.environ.get("COMPSEED_FWD_DEDUP", "1") == "0"
+        self.bwd_disabled = \
+            os.environ.get("COMPSEED_BWD_DEDUP", "1") == "0"
         self._jits: dict = {}
         self.prof: dict = {}
         self.last_overflow = False
@@ -184,6 +187,7 @@ class DeviceSeeder:
         # round-2 tasks run ONE sweep each; conservative rep caps
         fwd_stages2 = [(T2, 8), (T2, 24), (T2, MAXW)]
         use_fwd = use_dedup and not self.fwd_disabled
+        use_bwd = use_dedup and not self.bwd_disabled
 
         @jax.jit
         def j_round1(fm, qarr, rlens):
@@ -206,7 +210,8 @@ class DeviceSeeder:
                 pool, n_pool, povf = ss.build_pool(lep, cnt, GP)
                 fqc = fcc = jnp.asarray(0, i32)
                 bad = sovf != 0                       # per read
-            if use_dedup:
+            dovf = jnp.asarray(False)
+            if use_bwd:
                 # backward SST reuse: walk one representative per
                 # (interval, pivot, prefix) state, scatter the result
                 # to every duplicate (the SST hit, comp_seed.cpp:2265)
@@ -219,14 +224,13 @@ class DeviceSeeder:
                 fk = fk_r[group]
                 fs = fs_r[group]
                 fl = fl_r[group] - rep_pool[group, 1] + pool[:, 1]
-                povf = povf | dovf
             else:
                 n_u = n_pool
                 death, fk, fl, fs, wovf = ss.walk_pool(fm, qflat, L, pool,
                                                        stages1)
             ok, rid, k, l, s, beg, end = ss.reconstruct(
                 pool, death, fk, fl, fs, opt.min_seed_len, (5, 4))
-            flags = jnp.stack([povf, wovf, fovf])    # chunk-global
+            flags = jnp.stack([povf, wovf, fovf, dovf])  # chunk-global
             return (pool, ok, rid, k, l, s, beg, end, flags, bad,
                     n_pool, n_u, fqc, fcc)
 
@@ -537,15 +541,24 @@ class DeviceSeeder:
         return mflat, moff, sflat, soff
 
     def _note_fwd_overflow(self, oflags) -> None:
-        """Adaptive response to a forward-dedup cap overflow: drop the
-        forward path from future compiles (this input doesn't share
-        enough), keeping everything else."""
+        """Adaptive response to a dedup cap overflow: drop the
+        overflowing dedup pass from future compiles (this input doesn't
+        share enough), keeping everything else."""
+        import sys
+        changed = False
         if not self.fwd_disabled and any(oflags[s] for s in FWD_OVF_SLOTS):
-            import sys
             print("[M::seeder2] forward-sweep dedup caps overflowed; "
                   "disabling the forward path for subsequent chunks",
                   file=sys.stderr)
             self.fwd_disabled = True
+            changed = True
+        if not self.bwd_disabled and oflags[BWD_OVF_SLOT]:
+            print("[M::seeder2] backward-walk dedup caps overflowed; "
+                  "disabling the backward dedup for subsequent chunks",
+                  file=sys.stderr)
+            self.bwd_disabled = True
+            changed = True
+        if changed:
             self._jits.clear()
             if hasattr(self, "_sharded"):
                 self._sharded.clear()
