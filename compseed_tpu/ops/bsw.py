@@ -206,6 +206,22 @@ def _bucket(x: int, lo: int) -> int:
     return b
 
 
+def _q_classes(qlens: np.ndarray, lo: int = 128):
+    """Partition pair indices by the power-of-two bucket of their query
+    length (the TPU analogue of the reference's 8/16-bit class split,
+    comp_seed.cpp:1550-1560): the kernel's per-row cost scales with the
+    static state width Q, so short-query pairs must not pay a long
+    pair's tile width.  Yields (bucket, indices) pairs."""
+    n = len(qlens)
+    buck = np.full(n, lo, np.int32)
+    b = lo
+    while (qlens > b).any():
+        b <<= 1
+        buck[qlens > b >> 1] = b
+    for bv in np.unique(buck):
+        yield int(bv), np.nonzero(buck == bv)[0]
+
+
 def _pack_rows(buf: np.ndarray, off: np.ndarray, P: int, W: int) -> tuple:
     """Scatter flat concatenated segments into a padded (P, W) matrix."""
     n = len(off) - 1
@@ -249,6 +265,7 @@ class BswRunner:
         # pattern (match/mismatch/ambig); exotic matrices use XLA
         self.mat_is_scmat = bool((m == pattern).all())
         self.use_pallas = use_pallas and self.mat_is_scmat
+        self.interpret = False       # CPU differential tests set True
 
     def run_flat(self, qbuf: np.ndarray, qoff: np.ndarray, rbuf: np.ndarray,
                  roff: np.ndarray, h0: np.ndarray, w: int, pen_clip: int):
@@ -315,32 +332,35 @@ class BswRunner:
             qmeta[:, 0] = self._row_map[qmeta[:, 0]]
         qlens = qmeta[:, 2].astype(np.int32)
         tlens = rmeta[:, 1].astype(np.int32)
-        order = np.argsort(tlens, kind="stable")
-        P = _bucket(n, LT)
-        Q = _bucket(int(qlens.max(initial=1)), 128)
-        T = _bucket(int(tlens.max(initial=1)), 128)
-        qm = np.zeros((P, 4), np.int32)
-        qm[:n] = qmeta[order]
-        r0 = np.zeros(P, rmeta.dtype)
-        r0[:n] = rmeta[order, 0]
-        rl = np.zeros(P, np.int32)
-        rl[:n] = tlens[order]
-        h0p = np.ones((P, 1), np.int32)
-        h0p[:n, 0] = h0[order]
-        ws = np.full((P, 1), w, np.int32)
-        ws[:n, 0] = clamp_band(qlens[order], w, self.max_sc, pen_clip,
-                               opt.o_del, opt.e_del, opt.o_ins, opt.e_ins)
         dt = self.dfi.dtype
-        out = np.asarray(bsw_meta_tiles(
-            self.mat25, qflat, self.dfi.pac_bases,
-            jnp.asarray(qm), jnp.asarray(r0).astype(dt), jnp.asarray(rl),
-            jnp.asarray(h0p), jnp.asarray(ws),
-            Q=Q, T=T, L=L, l_pac=self.dfi.l_pac,
-            o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
-            e_ins=opt.e_ins, zdrop=opt.zdrop))
-        inv = np.empty(n, np.int64)
-        inv[order] = np.arange(n)
-        return tuple(out[inv, j].astype(np.int32) for j in range(6))
+        res = np.zeros((n, 6), np.int32)
+        for Q, cls in _q_classes(qlens):
+            m = len(cls)
+            order = cls[np.argsort(tlens[cls], kind="stable")]
+            P = _bucket(m, LT)
+            T = _bucket(int(tlens[order].max(initial=1)), 128)
+            qm = np.zeros((P, 4), np.int32)
+            qm[:m] = qmeta[order]
+            r0 = np.zeros(P, rmeta.dtype)
+            r0[:m] = rmeta[order, 0]
+            rl = np.zeros(P, np.int32)
+            rl[:m] = tlens[order]
+            h0p = np.ones((P, 1), np.int32)
+            h0p[:m, 0] = h0[order]
+            ws = np.full((P, 1), w, np.int32)
+            ws[:m, 0] = clamp_band(qlens[order], w, self.max_sc, pen_clip,
+                                   opt.o_del, opt.e_del, opt.o_ins,
+                                   opt.e_ins)
+            out = np.asarray(bsw_meta_tiles(
+                self.mat25, qflat, self.dfi.pac_bases,
+                jnp.asarray(qm), jnp.asarray(r0).astype(dt),
+                jnp.asarray(rl), jnp.asarray(h0p), jnp.asarray(ws),
+                Q=Q, T=T, L=L, l_pac=self.dfi.l_pac,
+                o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
+                e_ins=opt.e_ins, zdrop=opt.zdrop,
+                interpret=self.interpret))
+            res[order] = out[:m, :6].astype(np.int32)
+        return tuple(res[:, j] for j in range(6))
 
     def _run_pallas(self, qbuf, qoff, rbuf, roff, h0, w: int, pen_clip: int):
         from compseed_tpu.ops.bsw_pallas import (LT, bsw_extend_tiles,
@@ -349,33 +369,38 @@ class BswRunner:
         n = len(h0)
         qlens = (qoff[1:] - qoff[:-1]).astype(np.int32)
         tlens = (roff[1:] - roff[:-1]).astype(np.int32)
-        order = np.argsort(tlens, kind="stable")
-        P = _bucket(n, LT)
-        Q = _bucket(int(qlens.max(initial=1)), 128)
-        T = _bucket(int(tlens.max(initial=1)), 128)
-        q_packed, _ = _pack_rows(qbuf, qoff, P, Q)
-        t_packed, _ = _pack_rows(rbuf, roff, P, T)
-        queries = np.full((P, Q), 4, np.int8)
-        targets = np.full((P, T), 4, np.int8)
-        queries[:n] = q_packed[order].astype(np.int8)
-        targets[:n] = t_packed[order].astype(np.int8)
-        qlp = np.zeros((P, 1), np.int32)
-        qlp[:n, 0] = qlens[order]
-        tlp = np.zeros((P, 1), np.int32)
-        tlp[:n, 0] = tlens[order]
-        h0p = np.ones((P, 1), np.int32)
-        h0p[:n, 0] = h0[order]
-        ws = np.full((P, 1), w, np.int32)
-        ws[:n, 0] = clamp_band(qlens[order], w, self.max_sc, pen_clip,
-                               opt.o_del, opt.e_del, opt.o_ins, opt.e_ins)
-        out = np.asarray(bsw_extend_tiles(
-            self.mat25, jnp.asarray(queries), jnp.asarray(qlp),
-            jnp.asarray(targets), jnp.asarray(tlp), jnp.asarray(h0p),
-            jnp.asarray(ws), o_del=opt.o_del, e_del=opt.e_del,
-            o_ins=opt.o_ins, e_ins=opt.e_ins, zdrop=opt.zdrop))
-        inv = np.empty(n, np.int64)
-        inv[order] = np.arange(n)
-        return tuple(out[inv, j].astype(np.int32) for j in range(6))
+        Qall = _bucket(int(qlens.max(initial=1)), 128)
+        Tall = _bucket(int(tlens.max(initial=1)), 128)
+        q_all, _ = _pack_rows(qbuf, qoff, n, Qall)
+        t_all, _ = _pack_rows(rbuf, roff, n, Tall)
+        res = np.zeros((n, 6), np.int32)
+        for Q, cls in _q_classes(qlens):
+            m = len(cls)
+            order = cls[np.argsort(tlens[cls], kind="stable")]
+            P = _bucket(m, LT)
+            T = _bucket(int(tlens[order].max(initial=1)), 128)
+            queries = np.full((P, Q), 4, np.int8)
+            targets = np.full((P, T), 4, np.int8)
+            queries[:m] = q_all[order, :Q].astype(np.int8)
+            targets[:m] = t_all[order, :T].astype(np.int8)
+            qlp = np.zeros((P, 1), np.int32)
+            qlp[:m, 0] = qlens[order]
+            tlp = np.zeros((P, 1), np.int32)
+            tlp[:m, 0] = tlens[order]
+            h0p = np.ones((P, 1), np.int32)
+            h0p[:m, 0] = h0[order]
+            ws = np.full((P, 1), w, np.int32)
+            ws[:m, 0] = clamp_band(qlens[order], w, self.max_sc, pen_clip,
+                                   opt.o_del, opt.e_del, opt.o_ins,
+                                   opt.e_ins)
+            out = np.asarray(bsw_extend_tiles(
+                self.mat25, jnp.asarray(queries), jnp.asarray(qlp),
+                jnp.asarray(targets), jnp.asarray(tlp), jnp.asarray(h0p),
+                jnp.asarray(ws), o_del=opt.o_del, e_del=opt.e_del,
+                o_ins=opt.o_ins, e_ins=opt.e_ins, zdrop=opt.zdrop,
+                interpret=self.interpret))
+            res[order] = out[:m, :6].astype(np.int32)
+        return tuple(res[:, j] for j in range(6))
 
     def __call__(self, pairs, w: int, pen_clip: int):
         if not pairs:

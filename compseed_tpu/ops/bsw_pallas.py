@@ -281,7 +281,8 @@ def bsw_extend_tiles(mat25: jax.Array,     # (1, 25) int32
 
 @functools.partial(jax.jit,
                    static_argnames=("Q", "T", "L", "l_pac", "o_del",
-                                    "e_del", "o_ins", "e_ins", "zdrop"))
+                                    "e_del", "o_ins", "e_ins", "zdrop",
+                                    "interpret"))
 def bsw_meta_tiles(mat25, qflat, pac,      # device read matrix + reference
                    qmeta,                  # (P, 4) i32: rid, q0, qlen, rev
                    r0,                     # (P,) index dtype
@@ -289,7 +290,7 @@ def bsw_meta_tiles(mat25, qflat, pac,      # device read matrix + reference
                    h0s, ws,                # (P, 1) i32
                    *, Q: int, T: int, L: int, l_pac: int,
                    o_del: int, e_del: int, o_ins: int, e_ins: int,
-                   zdrop: int) -> jax.Array:
+                   zdrop: int, interpret: bool = False) -> jax.Array:
     """Build the DP tiles ON DEVICE from pair metadata and run the
     kernel: sequences are sliced out of the chunk's read matrix and the
     packed reference (rev pairs consume positions downward, which is the
@@ -319,7 +320,7 @@ def bsw_meta_tiles(mat25, qflat, pac,      # device read matrix + reference
     return _call_kernel(
         mat25, qt.astype(jnp.int8), ql[:, None].astype(i32),
         tt.astype(jnp.int8), rlen[:, None].astype(i32), h0s, ws,
-        o_del, e_del, o_ins, e_ins, zdrop)
+        o_del, e_del, o_ins, e_ins, zdrop, interpret=interpret)
 
 
 def clamp_band(qlens: np.ndarray, w: int, max_sc: int, end_bonus: int,

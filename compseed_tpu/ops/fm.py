@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from compseed_tpu.ops.device_index import DeviceFMIndex
+from compseed_tpu.ops.occ_gather import gather_rows
 
 _U1 = jnp.uint32(0xFFFFFFFF)
 
@@ -31,7 +32,7 @@ def _row_fetch(fm: DeviceFMIndex, k):
     k must already be $-adjusted and clamped valid (>= 0)."""
     block = (k >> 7).astype(jnp.int32)
     off = (k & 0x7F).astype(jnp.int32)
-    rows = fm.occ_rows[block]                   # (..., 12) uint32
+    rows = gather_rows(fm.occ_rows, block)      # (..., 12) uint32
     return rows[..., 0:4], rows[..., 4:8], rows[..., 8:12], off
 
 
@@ -109,23 +110,25 @@ def extend_batch(fm: DeviceFMIndex, ik: jax.Array, is_back: bool) -> jax.Array:
 
 
 def inv_psi_batch(fm: DeviceFMIndex, k: jax.Array) -> jax.Array:
-    """One LF step per lane (bwt_invPsi, bwt.c:53-59).
+    """One LF step per lane (bwt_invPsi, bwt.c:53-59).  Requires k >= 0.
 
-    The occ row of k and the BWT base at x = k - (k > primary) come from
-    at most two gathers; the base is read from the row's bitplanes.
+    ONE row gather serves both the BWT base and its rank: the base lives
+    at x = k - (k > primary) and the occ rank is taken at
+    kk = k - (k >= primary); x == kk everywhere except k == primary,
+    whose result is overridden to 0 below (bwt.c:55), so the row at x
+    is correct for both reads.
     """
     dt = fm.dtype
     k = k.astype(dt)
     x = k - (k > fm.primary).astype(dt)
-    # base at x from its row's bitplanes
     cnt_x, hi_x, lo_x, off_x = _row_fetch(fm, x)
     w = (off_x >> 5).astype(jnp.int32)
     b = (off_x & 31).astype(jnp.uint32)
     hw = jnp.take_along_axis(hi_x, w[..., None], axis=-1)[..., 0]
     lw = jnp.take_along_axis(lo_x, w[..., None], axis=-1)[..., 0]
     c = (((hw >> b) & 1) << 1 | ((lw >> b) & 1)).astype(jnp.int32)
-    occ = jnp.take_along_axis(occ4_batch(fm, k), c[..., None],
-                              axis=-1)[..., 0]
+    occ4 = _rank4(cnt_x, hi_x, lo_x, off_x, dt)
+    occ = jnp.take_along_axis(occ4, c[..., None], axis=-1)[..., 0]
     res = fm.L2[c] + occ
     return jnp.where(k == fm.primary, jnp.zeros_like(res), res)
 

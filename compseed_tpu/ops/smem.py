@@ -286,25 +286,30 @@ class BatchSeeder:
         self.prof = {"r1": [], "r2": 0.0, "r3": 0.0, "sal": 0.0,
                      "post": 0.0}
 
+    # The device index is a CALL-TIME argument to every jitted program
+    # (bound via partial at call sites below) so its multi-GB arrays are
+    # runtime operands, not captured constants — at hg19 scale each
+    # embedded copy costs 2.3+ GB of executable memory (see seeder2.py).
     def _collect_fn(self, L: int):
         if L not in self._collect_cache:
-            f = jax.vmap(partial(_collect_one, self.dfi, L))
+            f = jax.vmap(lambda fm_, q, p, h, a: _collect_one(
+                fm_, L, q, p, h, a), in_axes=(None, 0, 0, 0, 0))
             self._collect_cache[L] = jax.jit(f)
-        return self._collect_cache[L]
+        return partial(self._collect_cache[L], self.dfi)
 
     def _round3_fn(self, L: int):
         key = (L, self.opt.min_seed_len, int(self.opt.max_mem_intv))
         if key not in self._round3_cache:
-            f = jax.vmap(partial(_seed_strategy_one, self.dfi, L,
-                                 self.opt.min_seed_len,
-                                 int(self.opt.max_mem_intv)))
+            ml, mi = self.opt.min_seed_len, int(self.opt.max_mem_intv)
+            f = jax.vmap(lambda fm_, q, a: _seed_strategy_one(
+                fm_, L, ml, mi, q, a), in_axes=(None, 0, 0))
             self._round3_cache[key] = jax.jit(f)
-        return self._round3_cache[key]
+        return partial(self._round3_cache[key], self.dfi)
 
     def _sa_fn(self):
         if "f" not in self._sa_cache:
-            self._sa_cache["f"] = jax.jit(partial(dfm.sa_batch, self.dfi))
-        return self._sa_cache["f"]
+            self._sa_cache["f"] = jax.jit(dfm.sa_batch)
+        return partial(self._sa_cache["f"], self.dfi)
 
     SEED_BLOCK = 8192
 

@@ -135,3 +135,79 @@ def test_bsw_pallas_kernel_vs_xla():
         zdrop=opt.zdrop, interpret=True))
     for j in range(6):
         assert np.array_equal(ref[j], out[:, j]), j
+
+
+def test_run_meta_class_split_interpret(micro):
+    """run_meta (Pallas interpret, Q-class split) must equal run_flat
+    (XLA) on metadata-described pairs spanning two query-length classes
+    — covers the on-device tile slicing AND the per-class dispatch."""
+    import jax.numpy as jnp
+    from compseed_tpu.ops.device_index import to_device
+
+    seq, built, fm = micro
+    dfi = to_device(fm)
+    pac = np.asarray(dfi.pac_bases)
+    l_pac = int(dfi.l_pac)
+    opt = MemOptions()
+    mat = np.array(fill_scmat(1, 4), dtype=np.int32)
+    rng = np.random.default_rng(77)
+
+    R, L = 24, 256
+    qarr = np.full((R, L), 4, np.uint8)
+    for i in range(R):
+        rl = int(rng.integers(40, 200))
+        qarr[i, :rl] = rng.integers(0, 4, rl)
+        # sprinkle ambiguous bases
+        amb = rng.random(rl) < 0.02
+        qarr[i, :rl][amb] = 4
+
+    n = 300
+    qmeta = np.zeros((n, 4), np.int32)
+    rmeta = np.zeros((n, 2), np.int64)
+    h0 = np.zeros(n, np.int32)
+    qbuf, rbuf = [], []
+    for p in range(n):
+        rid = int(rng.integers(0, R))
+        rev = int(rng.integers(0, 2))
+        # ~1/3 long queries to force a second Q class (>128)
+        qlen = int(rng.integers(129, 201)) if p % 3 == 0 else \
+            int(rng.integers(1, 129))
+        if rev == 0:
+            q0 = int(rng.integers(0, L - qlen + 1))
+            q = qarr[rid, q0: q0 + qlen].copy()
+        else:
+            q0 = int(rng.integers(qlen - 1, L))
+            q = qarr[rid, q0 - qlen + 1: q0 + 1][::-1].copy()
+        tlen = 0 if p == 17 else int(rng.integers(1, 180))
+        if rev == 0:
+            r0 = int(rng.integers(0, 2 * l_pac - tlen))
+            gp = r0 + np.arange(tlen)
+        else:
+            r0 = int(rng.integers(tlen - 1, 2 * l_pac)) if tlen else 0
+            gp = r0 - np.arange(tlen)
+        fwd = gp < l_pac
+        pf = np.where(fwd, gp, 2 * l_pac - 1 - gp)
+        t = np.where(fwd, pac[pf], 3 - pac[pf]).astype(np.uint8)
+        qmeta[p] = (rid, q0, qlen, rev)
+        rmeta[p] = (r0, tlen)
+        h0[p] = int(rng.integers(1, 120))
+        qbuf.append(q)
+        rbuf.append(t)
+
+    qoff = np.zeros(n + 1, np.int64)
+    roff = np.zeros(n + 1, np.int64)
+    np.cumsum([len(q) for q in qbuf], out=qoff[1:])
+    np.cumsum([len(t) for t in rbuf], out=roff[1:])
+    flat_q = np.concatenate(qbuf)
+    flat_r = np.concatenate(rbuf) if roff[-1] else np.zeros(0, np.uint8)
+
+    rx = BswRunner(opt, mat, use_pallas=False)
+    want = rx.run_flat(flat_q, qoff, flat_r, roff, h0, opt.w, opt.pen_clip5)
+
+    rm = BswRunner(opt, mat, use_pallas=True, dfi=dfi)
+    rm.interpret = True
+    rm.set_query_context(jnp.asarray(qarr), L)
+    assert rm.supports_meta
+    got = rm.run_meta(qmeta, rmeta, h0, opt.w, opt.pen_clip5)
+    for j in range(6):
+        assert np.array_equal(want[j], got[j]), j
