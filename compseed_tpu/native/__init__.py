@@ -89,7 +89,7 @@ def _load():
     lib.cs_batch_create.restype = ct.c_void_p
     lib.cs_batch_create.argtypes = [
         ct.POINTER(CsOpt), u8p, ct.c_int64, i64p, i32p, u8p, ct.c_int32,
-        ct.c_char_p, ct.c_int32, u8p, i64p, i64p, i64p, i64p, i64p,
+        ct.c_char_p, ct.c_int32, u8p, i64p, i64p, i64p, i64p,
         ct.c_int32]
     lib.cs_export_pair_meta.restype = ct.c_int64
     lib.cs_export_pair_meta.argtypes = [ct.c_void_p, ct.c_int32, i32p,
@@ -161,16 +161,12 @@ class NativeTail:
     def run_batch(self, queries, matches_per_read, seeds_per_read, engine,
                   n_processed: int, names, quals, comments,
                   rg_id: str = "", paired: bool = False) -> list[str]:
+        from compseed_tpu.pipeline.chain import l_rep_one
         R = len(queries)
-        m_counts = [len(m) for m in matches_per_read]
-        moff = np.zeros(R + 1, dtype=np.int64)
-        np.cumsum(m_counts, out=moff[1:])
-        mflat = np.zeros((int(moff[-1]), 3), dtype=np.int64)
-        i = 0
-        for ms in matches_per_read:
-            for (k, l, s, beg, end) in ms:
-                mflat[i] = (beg, end, s)
-                i += 1
+        lrep = np.array(
+            [l_rep_one([(beg, end, s) for (k, l, s, beg, end) in ms],
+                       self.opt.max_occ) for ms in matches_per_read],
+            dtype=np.int64).reshape(R)
         s_counts = [len(s) for s in seeds_per_read]
         soff = np.zeros(R + 1, dtype=np.int64)
         np.cumsum(s_counts, out=soff[1:])
@@ -180,22 +176,24 @@ class NativeTail:
             for s in ss:
                 sflat[i] = (s.rbeg, s.qbeg, s.len)
                 i += 1
-        return self.run_batch_flat(queries, mflat, moff, sflat, soff,
+        return self.run_batch_flat(queries, lrep, sflat, soff,
                                    engine, n_processed, names, quals,
                                    comments, rg_id, paired=paired)
 
-    def run_batch_flat(self, queries, mflat, moff, sflat, soff, engine,
+    def run_batch_flat(self, queries, lrep, sflat, soff, engine,
                        n_processed: int, names, quals, comments,
                        rg_id: str = "", paired: bool = False,
                        pes_override=None) -> list[str]:
+        """``lrep`` is the per-read repetitive-coverage length (the only
+        chaining input derived from the match list, comp_seed.cpp:271-281)
+        — the full matches never leave the device."""
         lib = self.lib
         R = len(queries)
         qbuf = np.concatenate(queries) if R else np.zeros(0, np.uint8)
         qoff = np.zeros(R + 1, dtype=np.int64)
         np.cumsum([len(q) for q in queries], out=qoff[1:])
-        mflat = np.ascontiguousarray(mflat, dtype=np.int64)
+        lrep = np.ascontiguousarray(lrep, dtype=np.int64)
         sflat = np.ascontiguousarray(sflat, dtype=np.int64)
-        moff = np.ascontiguousarray(moff, dtype=np.int64)
         soff = np.ascontiguousarray(soff, dtype=np.int64)
 
         use_meta = bool(getattr(engine, "supports_meta", False))
@@ -205,7 +203,7 @@ class NativeTail:
             _ptr(self.ann_len, ct.c_int32), _ptr(self.ann_alt, ct.c_uint8),
             len(self.fm.bns.anns), self.names, R,
             _ptr(qbuf, ct.c_uint8), _ptr(qoff, ct.c_int64),
-            _ptr(mflat, ct.c_int64), _ptr(moff, ct.c_int64),
+            _ptr(lrep, ct.c_int64),
             _ptr(sflat, ct.c_int64), _ptr(soff, ct.c_int64),
             1 if use_meta else 0)
         try:

@@ -47,8 +47,8 @@ def blob_sizes(R: int, MEMCAP: int, SEEDCAP: int,
                packed: bool) -> tuple[int, int]:
     """(len(blob_i), len(blob_d)) for one shard's j_pack output."""
     if packed:
-        return 3 * MEMCAP + SEEDCAP + R + N_SCAL, SEEDCAP
-    return 4 * MEMCAP + 2 * SEEDCAP + 2 * R + N_SCAL, SEEDCAP
+        return SEEDCAP + 2 * R + N_SCAL, SEEDCAP
+    return 2 * SEEDCAP + 3 * R + N_SCAL, SEEDCAP
 
 
 def unpack_blobs(blob_i: np.ndarray, blob_d: np.ndarray, R: int,
@@ -56,14 +56,11 @@ def unpack_blobs(blob_i: np.ndarray, blob_d: np.ndarray, R: int,
                  packed: bool = True) -> dict:
     """Decode one shard's packed (blob_i, blob_d) result pair (j_pack
     layout) into host-side flats + counters.  Shared by the single-chip
-    and sharded paths."""
+    and sharded paths.  The match list never ships: chaining consumes
+    only the per-read repetitive-coverage length l_rep, reduced on
+    device (comp_seed.cpp:271-281)."""
     off = 0
-    mrid_h = blob_i[off:off + MEMCAP]; off += MEMCAP
     if packed:
-        begend = blob_i[off:off + MEMCAP]; off += MEMCAP
-        mbeg_h = begend & 0x3FF
-        mend_h = begend >> 10
-        ms_h = blob_i[off:off + MEMCAP]; off += MEMCAP
         qbln = blob_i[off:off + SEEDCAP]; off += SEEDCAP
         qb_h = qbln & 0x3FF
         ln_h = qbln >> 10
@@ -71,13 +68,11 @@ def unpack_blobs(blob_i: np.ndarray, blob_d: np.ndarray, R: int,
         seed_cnt_h = cntbad & 0xFFFFFF
         bad_h = cntbad >> 24
     else:
-        mbeg_h = blob_i[off:off + MEMCAP]; off += MEMCAP
-        mend_h = blob_i[off:off + MEMCAP]; off += MEMCAP
-        ms_h = blob_i[off:off + MEMCAP]; off += MEMCAP
         qb_h = blob_i[off:off + SEEDCAP]; off += SEEDCAP
         ln_h = blob_i[off:off + SEEDCAP]; off += SEEDCAP
         seed_cnt_h = blob_i[off:off + R]; off += R
         bad_h = blob_i[off:off + R]; off += R
+    lrep_h = blob_i[off:off + R]; off += R
     scal = blob_i[off:off + N_SCAL]
     mtotal_h, stotal_h, n_uniq_h = int(scal[0]), int(scal[1]), int(scal[2])
     oflags = scal[3:14]  # r1 pool/walk/fwd/bwd; r2 x4; merge; seeds; r3
@@ -85,20 +80,14 @@ def unpack_blobs(blob_i: np.ndarray, blob_d: np.ndarray, R: int,
     fq_h, fc_h = int(scal[16]), int(scal[17])
     rbeg_h = blob_d[:SEEDCAP]
 
-    valid_m = mrid_h >= 0
-    mrid_v = mrid_h[valid_m][:mtotal_h]
-    mflat = np.stack([mbeg_h[valid_m], mend_h[valid_m],
-                      ms_h[valid_m]], axis=1).astype(np.int64)
-    moff = np.zeros(n_reads + 1, dtype=np.int64)
-    cnts = np.bincount(mrid_v, minlength=R)[:n_reads]
-    np.cumsum(cnts, out=moff[1:])
     sflat = np.stack([rbeg_h[:stotal_h], qb_h[:stotal_h],
                       ln_h[:stotal_h]], axis=1).astype(np.int64)
     soff = np.zeros(n_reads + 1, dtype=np.int64)
     np.cumsum(seed_cnt_h[:n_reads], out=soff[1:])
-    return dict(mflat=mflat, moff=moff, sflat=sflat, soff=soff,
+    return dict(lrep=lrep_h[:n_reads].astype(np.int64),
+                sflat=sflat, soff=soff,
                 oflags=oflags, bad=bad_h[:n_reads],
-                stotal=stotal_h, n_uniq=n_uniq_h,
+                mtotal=mtotal_h, stotal=stotal_h, n_uniq=n_uniq_h,
                 npool=npool_h, n_u=nu_h, fq=fq_h, fc=fc_h)
 
 
@@ -411,13 +400,14 @@ class DeviceSeeder:
             """Pack results into two blobs — every device->host transfer
             over the tunnel pays a large flat cost, so ship exactly two
             arrays (one i32, one index-dtype) with bit-packed columns:
-            (beg | end<<10) and (qb | len<<10) share an int32 each, the
-            per-read seed count carries the fallback bit at bit 24, and
-            the occ column ships as clipped int32 (its consumers only
-            threshold it at max_occ).  f1/f2 are chunk-global overflow
-            vectors; bad1-3 are per-read overflow bitmaps (scan/r2/r3)
-            for per-read oracle fallback."""
-            mrid2 = jnp.where(mok, mrid, -1)
+            (qb | len<<10) shares an int32 and the per-read seed count
+            carries the fallback bit at bit 24.  The match list itself
+            never ships: chaining only needs the per-read l_rep (union
+            length of over-occurring match intervals,
+            comp_seed.cpp:271-281), reduced here with a segmented
+            prefix-max over the (rid, beg, end)-sorted merged matches.
+            f1/f2 are chunk-global overflow vectors; bad1-3 are per-read
+            overflow bitmaps (scan/r2/r3) for per-read oracle fallback."""
             bad = (bad1 | bad2 | bad3).astype(i32)
             scalars = jnp.concatenate([
                 jnp.stack([mtotal.astype(i32), stotal.astype(i32),
@@ -427,22 +417,44 @@ class DeviceSeeder:
                            f6.astype(i32),
                            n_pool.astype(i32), n_u.astype(i32),
                            fqc.astype(i32), fcc.astype(i32)])])
-            ms32 = jnp.where(mok, jnp.minimum(ms, (1 << 31) - 1), 0) \
-                .astype(i32)
+            # ---- per-read l_rep: interval union over occ > max_occ
+            # matches.  Entries are sorted by (rid, beg, end) with the
+            # invalid tail last, so union length = sum over matches of
+            # max(0, end - max(beg, M)) with M the segment-exclusive
+            # running max of filtered ends.
+            occ32 = jnp.minimum(ms, (1 << 31) - 1).astype(i32)
+            m_rep = mok & (occ32 > opt.max_occ)
+            e32 = jnp.where(m_rep, mend.astype(i32), -1)
+            rid32 = mrid.astype(i32)
+
+            def comb(a, b):
+                va, ra = a
+                vb, rb = b
+                return (jnp.where(rb == ra, jnp.maximum(va, vb), vb), rb)
+
+            run, _ = jax.lax.associative_scan(comb, (e32, rid32))
+            prev = jnp.concatenate(
+                [jnp.full((1,), -1, i32), run[:-1]])
+            seg_start = jnp.concatenate(
+                [jnp.ones((1,), jnp.bool_), rid32[1:] != rid32[:-1]])
+            M = jnp.where(seg_start, jnp.asarray(-1, i32), prev)
+            contrib = jnp.where(
+                m_rep,
+                jnp.maximum(
+                    mend.astype(i32) - jnp.maximum(mbeg.astype(i32), M),
+                    0),
+                0)
+            tgt = jnp.where(mok, mrid, R).astype(i32)
+            lrep = jnp.zeros(R, i32).at[tgt].add(contrib, mode="drop")
             if packed:
-                begend = jnp.where(
-                    mok, mbeg.astype(i32) | (mend.astype(i32) << 10), 0)
                 qbln = qb.astype(i32) | (ln.astype(i32) << 10)
                 cntbad = seed_cnt.astype(i32) | (bad << 24)
-                blob_i = jnp.concatenate([
-                    mrid2.astype(i32), begend, ms32, qbln, cntbad,
-                    scalars])
+                blob_i = jnp.concatenate([qbln, cntbad, lrep, scalars])
                 blob_d = rbeg
             else:
                 blob_i = jnp.concatenate([
-                    mrid2.astype(i32), mbeg.astype(i32),
-                    mend.astype(i32), ms32, qb.astype(i32),
-                    ln.astype(i32), seed_cnt.astype(i32), bad, scalars])
+                    qb.astype(i32), ln.astype(i32),
+                    seed_cnt.astype(i32), bad, lrep, scalars])
                 blob_d = rbeg
             return blob_i, blob_d
 
@@ -532,13 +544,12 @@ class DeviceSeeder:
             stats.bwt_queries += res["npool"] + res["fq"]
             stats.bwt_calls += res["n_u"] + res["fc"]
         self._mrows = None
-        mflat, moff, sflat, soff = (res["mflat"], res["moff"],
-                                    res["sflat"], res["soff"])
+        lrep, sflat, soff = res["lrep"], res["sflat"], res["soff"]
         bad_reads = np.nonzero(res["bad"])[0]
         if len(bad_reads):
-            mflat, moff, sflat, soff = self._splice_oracle(
-                queries, bad_reads, mflat, moff, sflat, soff)
-        return mflat, moff, sflat, soff
+            lrep, sflat, soff = self._splice_oracle(
+                queries, bad_reads, lrep, sflat, soff)
+        return lrep, sflat, soff
 
     def _note_fwd_overflow(self, oflags) -> None:
         """Adaptive response to a dedup cap overflow: drop the
@@ -563,38 +574,35 @@ class DeviceSeeder:
             if hasattr(self, "_sharded"):
                 self._sharded.clear()
 
-    def _splice_oracle(self, queries, bad_reads, mflat, moff, sflat,
-                       soff):
+    def _splice_oracle(self, queries, bad_reads, lrep, sflat, soff):
         """Per-read exactness fallback: reads whose per-read buffers
         overflowed (LEP scan, round-2 task scan, round-3 hits) are
         recomputed with the scalar oracle and spliced into the flat
         output — the chunk keeps its device results."""
         from compseed_tpu.pipeline import seeding as sd
+        from compseed_tpu.pipeline.chain import l_rep_one
 
         bad = set(int(r) for r in bad_reads)
         n_reads = len(queries)
-        mseg, sseg = [], []
+        lrep = np.array(lrep, dtype=np.int64, copy=True)
+        sseg = []
         for r in range(n_reads):
             if r in bad:
                 m = sd.collect_matches(self.fm, self.opt, queries[r])
                 seeds = sd.sample_seeds(self.opt, m)
                 sd.resolve_sal(self.fm, [seeds])
-                mseg.append(np.array(
+                lrep[r] = l_rep_one(
                     [(beg, end, s) for (_, _, s, beg, end) in m],
-                    dtype=np.int64).reshape(-1, 3))
+                    self.opt.max_occ)
                 sseg.append(np.array(
                     [(x.rbeg, x.qbeg, x.len) for x in seeds],
                     dtype=np.int64).reshape(-1, 3))
             else:
-                mseg.append(mflat[moff[r]:moff[r + 1]])
                 sseg.append(sflat[soff[r]:soff[r + 1]])
-        mflat = np.concatenate(mseg) if mseg else mflat[:0]
         sflat = np.concatenate(sseg) if sseg else sflat[:0]
-        moff = np.zeros(n_reads + 1, np.int64)
-        np.cumsum([len(x) for x in mseg], out=moff[1:])
         soff = np.zeros(n_reads + 1, np.int64)
         np.cumsum([len(x) for x in sseg], out=soff[1:])
-        return mflat, moff, sflat, soff
+        return lrep, sflat, soff
 
     # ------------------------------------------------------------------
     def __call__(self, fm, opt, queries: list[np.ndarray], stats=None):

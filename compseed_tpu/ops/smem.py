@@ -316,24 +316,23 @@ class BatchSeeder:
     # ------------------------------------------------------------------
     def run_flat(self, queries: list[np.ndarray],
                  stats: SeedingStats | None = None):
-        """Vectorized interface: returns (mflat, moff, sflat, soff) where
-        mflat rows are (beg, end, occ) and sflat rows are (rbeg, qbeg, len)
-        — the native tail's input format, no per-object Python."""
+        """Vectorized interface: returns (lrep, sflat, soff) where lrep
+        is the per-read repetitive-coverage length (the only chaining
+        input derived from matches, comp_seed.cpp:271-281) and sflat
+        rows are (rbeg, qbeg, len) — the native tail's input format."""
+        from compseed_tpu.pipeline.chain import l_rep_flat
         outs = [self._run(queries[s: s + self.SEED_BLOCK], stats)
                 for s in range(0, len(queries), self.SEED_BLOCK)]
+        lrep = np.concatenate(
+            [l_rep_flat(o[0], o[1], self.opt.max_occ) for o in outs])
         if len(outs) == 1:
-            return outs[0]
-        mflat = np.concatenate([o[0] for o in outs])
+            return lrep, outs[0][2], outs[0][3]
         sflat = np.concatenate([o[2] for o in outs])
-        moff = np.concatenate(
-            [outs[0][1]] + [o[1][1:] + off for o, off in
-                            zip(outs[1:], np.cumsum(
-                                [o[1][-1] for o in outs[:-1]]))])
         soff = np.concatenate(
             [outs[0][3]] + [o[3][1:] + off for o, off in
                             zip(outs[1:], np.cumsum(
                                 [o[3][-1] for o in outs[:-1]]))])
-        return mflat, moff, sflat, soff
+        return lrep, sflat, soff
 
     def __call__(self, fm, opt, queries: list[np.ndarray],
                  stats: SeedingStats | None = None):

@@ -94,7 +94,7 @@ class ShardedSeeder(DeviceSeeder):
         blob_d = blob_d.reshape(S, BD)
 
         self.last_overflow = False
-        msegs, ssegs = [], []      # one (mflat, moff)/(sflat, soff) per shard
+        lsegs, ssegs = [], []      # one lrep/(sflat, soff) per shard
         for s in range(S):
             lo = s * per
             hi = min(lo + per, n_reads)
@@ -112,42 +112,38 @@ class ShardedSeeder(DeviceSeeder):
                 self._note_fwd_overflow(res["oflags"])
                 from compseed_tpu.ops.smem import BatchSeeder
                 legacy = BatchSeeder(self.opt, self.fm, self.dfi)
-                mflat, moff, sflat, soff = legacy.run_flat(sub, stats)
+                lrep, sflat, soff = legacy.run_flat(sub, stats)
             else:
-                mflat, moff, sflat, soff = (res["mflat"], res["moff"],
-                                            res["sflat"], res["soff"])
+                lrep, sflat, soff = (res["lrep"], res["sflat"],
+                                     res["soff"])
                 bad_reads = np.nonzero(res["bad"])[0]
                 if len(bad_reads):
-                    mflat, moff, sflat, soff = self._splice_oracle(
-                        sub, bad_reads, mflat, moff, sflat, soff)
+                    lrep, sflat, soff = self._splice_oracle(
+                        sub, bad_reads, lrep, sflat, soff)
                 if stats is not None:
                     stats.sal_queries += res["stotal"]
                     stats.sal_calls += res["n_uniq"]
                     stats.bwt_queries += res["npool"] + res["fq"]
                     stats.bwt_calls += res["n_u"] + res["fc"]
-            msegs.append((mflat, moff))
+            lsegs.append(lrep)
             ssegs.append((sflat, soff))
         if self.last_overflow:
             self.last_qd = None    # meta engines must not reuse stale qd
 
         # deterministic re-assembly in original read order (shards are
         # contiguous read ranges, so concatenation restores -K order)
-        mflat = np.concatenate([m for m, _ in msegs]) if msegs else \
-            np.zeros((0, 3), np.int64)
+        lrep = np.concatenate(lsegs) if lsegs else np.zeros(0, np.int64)
         sflat = np.concatenate([x for x, _ in ssegs]) if ssegs else \
             np.zeros((0, 3), np.int64)
-        moff = np.zeros(n_reads + 1, np.int64)
         soff = np.zeros(n_reads + 1, np.int64)
         pos = 0
-        mbase = sbase = 0
-        for (m, mo), (x, so) in zip(msegs, ssegs):
-            k = len(mo) - 1
-            moff[pos + 1: pos + k + 1] = mbase + mo[1:]
+        sbase = 0
+        for x, so in ssegs:
+            k = len(so) - 1
             soff[pos + 1: pos + k + 1] = sbase + so[1:]
-            mbase += mo[-1]
             sbase += so[-1]
             pos += k
-        return mflat, moff, sflat, soff
+        return lrep, sflat, soff
 
 
 class ShardedBswRunner(BswRunner):

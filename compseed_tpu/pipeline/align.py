@@ -42,13 +42,13 @@ def align_batch(opt: MemOptions, fm: FMIndex, reads: list[Read],
     # fast path: flat seeder output straight into the native tail
     if seeder is not None and tail is not None and \
             hasattr(seeder, "run_flat"):
-        mflat, moff, sflat, soff = seeder.run_flat(queries, stats)
+        lrep, sflat, soff = seeder.run_flat(queries, stats)
         if hasattr(engine, "set_query_context"):
             qd = getattr(seeder, "last_qd", None)
             engine.set_query_context(qd, getattr(seeder, "last_L", 0),
                                      getattr(seeder, "last_row_map", None))
         sams = tail.run_batch_flat(
-            queries, mflat, moff, sflat, soff, engine, n_processed,
+            queries, lrep, sflat, soff, engine, n_processed,
             [r.name for r in reads], [r.qual for r in reads],
             [r.comment for r in reads], rg_id, paired=paired,
             pes_override=pes_override)
@@ -218,11 +218,11 @@ def align_stream(opt: MemOptions, fm: FMIndex, chunk_iter, engine, seeder,
 def _drain(opt, engine, tail, pending, paired, pes_override, rg_id,
            on_done):
     reads, fut, base = pending
-    queries, (mflat, moff, sflat, soff), (qd, L, row_map) = fut.result()
+    queries, (lrep, sflat, soff), (qd, L, row_map) = fut.result()
     if hasattr(engine, "set_query_context"):
         engine.set_query_context(qd, L, row_map)
     sams = tail.run_batch_flat(
-        queries, mflat, moff, sflat, soff, engine, base,
+        queries, lrep, sflat, soff, engine, base,
         [r.name for r in reads], [r.qual for r in reads],
         [r.comment for r in reads], rg_id, paired=paired,
         pes_override=pes_override)

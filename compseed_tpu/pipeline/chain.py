@@ -75,6 +75,33 @@ def chain_weight(c: Chain) -> int:
     return min(w, (1 << 30) - 1)
 
 
+def l_rep_one(rows, max_occ: int) -> int:
+    """Length of the read covered by over-occurring matches — the only
+    quantity chaining derives from the match list (comp_seed.cpp:271-281:
+    interval union over occ > max_occ matches, which arrive sorted by
+    (beg, end)).  ``rows`` yields (beg, end, occ) tuples."""
+    beg = end = l_rep = 0
+    for mbeg, mend, occ in rows:
+        if occ <= max_occ:
+            continue
+        if mbeg > end:
+            l_rep += end - beg
+            beg, end = mbeg, mend
+        else:
+            end = max(end, mend)
+    return l_rep + (end - beg)
+
+
+def l_rep_flat(mflat: np.ndarray, moff: np.ndarray,
+               max_occ: int) -> np.ndarray:
+    """Per-read l_rep from a flat (beg, end, occ) match matrix."""
+    n = len(moff) - 1
+    out = np.zeros(n, np.int64)
+    for r in range(n):
+        out[r] = l_rep_one(mflat[moff[r]:moff[r + 1]], max_occ)
+    return out
+
+
 def mem_chain(opt: MemOptions, fm: FMIndex, l_query: int,
               matches: list[tuple], seeds: list[Seed]) -> list[Chain]:
     """comp_seed.cpp:241-285."""
@@ -101,16 +128,8 @@ def mem_chain(opt: MemOptions, fm: FMIndex, l_query: int,
             chains.insert(j, c)
 
     # repetition fraction from over-occurring matches (comp_seed.cpp:271-281)
-    beg = end = l_rep = 0
-    for k, l, s_, mbeg, mend in matches:
-        if s_ <= opt.max_occ:
-            continue
-        if mbeg > end:
-            l_rep += end - beg
-            beg, end = mbeg, mend
-        else:
-            end = max(end, mend)
-    l_rep += end - beg
+    l_rep = l_rep_one([(mbeg, mend, s_) for _, _, s_, mbeg, mend in matches],
+                      opt.max_occ)
     # mem_chain_t.frac_rep is a C float (comp_seed.h:100); keep f32 rounding
     frac = float(np.float32(l_rep / l_query))
     for c in chains:

@@ -549,8 +549,7 @@ struct KbTreeChn {
 };
 
 // chaining (mem_chain, bwamem.c:359-435 == comp_seed.cpp:241-295)
-static void build_chains(Batch* B, ReadState* rs,
-                         const i64* matches, i64 n_matches,
+static void build_chains(Batch* B, ReadState* rs, i64 l_rep,
                          const i64* seeds, i64 n_seeds) {
     const CsOpt& o = B->opt;
     int l_query = (int)rs->query.size();
@@ -605,16 +604,10 @@ static void build_chains(Batch* B, ReadState* rs,
     tree.traverse(tree.root, &order);
     chains.reserve(order.size());
     for (i32 idx : order) chains.push_back(std::move(built[idx]));
-    // repetition fraction (:271)
-    i64 beg = 0, end = 0, l_rep = 0;
-    for (i64 mi = 0; mi < n_matches; ++mi) {
-        i64 mbeg = matches[3 * mi], mend = matches[3 * mi + 1],
-            occ = matches[3 * mi + 2];
-        if (occ <= o.max_occ) continue;
-        if (mbeg > end) { l_rep += end - beg; beg = mbeg; end = mend; }
-        else end = std::max(end, mend);
-    }
-    l_rep += end - beg;
+    // repetition fraction (:271): l_rep — the union length of the
+    // read's over-occurring match intervals — is precomputed (on device
+    // by the seeder, or host-side from oracle matches), so the match
+    // list itself never crosses the host link
     float frac = (float)l_rep / l_query;
     for (auto& c : chains) c.frac_rep = frac;
 }
@@ -2189,7 +2182,7 @@ void* cs_batch_create(const CsOpt* opt, const u8* pac, i64 l_pac,
                       const u8* ann_is_alt, i32 n_anns,
                       const char* name_buf,
                       i32 n_reads, const u8* query_buf, const i64* query_off,
-                      const i64* match_flat, const i64* match_off,
+                      const i64* l_rep,
                       const i64* seed_flat, const i64* seed_off,
                       i32 meta_mode) {
     Batch* B = new Batch();
@@ -2215,17 +2208,13 @@ void* cs_batch_create(const CsOpt* opt, const u8* pac, i64 l_pac,
     kt_for_eq(n_reads, [&](i64 r) {
         ReadState& rs = B->reads[r];
         rs.query.assign(query_buf + query_off[r], query_buf + query_off[r + 1]);
-        build_chains(B, &rs, match_flat + 3 * match_off[r],
-                     match_off[r + 1] - match_off[r],
+        build_chains(B, &rs, l_rep[r],
                      seed_flat + 3 * seed_off[r],
                      seed_off[r + 1] - seed_off[r]);
         const char* dr = getenv("DUMP_READ");
         if (dr && atoi(dr) == r) {
-            for (i64 mi = match_off[r]; mi < match_off[r + 1]; ++mi)
-                fprintf(stderr, "MATCH beg=%lld end=%lld occ=%lld\n",
-                        (long long)match_flat[3 * mi],
-                        (long long)match_flat[3 * mi + 1],
-                        (long long)match_flat[3 * mi + 2]);
+            fprintf(stderr, "LREP read=%d l_rep=%lld\n", (int)r,
+                    (long long)l_rep[r]);
             for (i64 si = seed_off[r]; si < seed_off[r + 1]; ++si)
                 fprintf(stderr, "SEED rbeg=%lld qbeg=%lld len=%lld\n",
                         (long long)seed_flat[3 * si],

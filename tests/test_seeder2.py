@@ -78,10 +78,9 @@ def test_seeder2_run_flat_contract(tiny_fm):
     queries = _fixture_queries(32)
     v2 = DeviceSeeder(opt, tiny_fm)
     v1 = BatchSeeder(opt, tiny_fm, v2.dfi)
-    m2, mo2, s2, so2 = v2.run_flat(queries)
-    m1, mo1, s1, so1 = v1.run_flat(queries)
-    assert np.array_equal(mo1, mo2)
-    assert np.array_equal(m1, m2)
+    l2, s2, so2 = v2.run_flat(queries)
+    l1, s1, so1 = v1.run_flat(queries)
+    assert np.array_equal(l1, l2)
     assert np.array_equal(so1, so2)
     assert np.array_equal(s1, s2)
 
@@ -137,14 +136,18 @@ def test_seeder2_per_read_fallback(tiny_fm):
     long_read = rng.integers(0, 4, 480).astype(np.uint8)  # LEPs >> CAPL
     queries.insert(3, long_read)
     sd = DeviceSeeder(opt, tiny_fm)
-    m2, mo2, s2, so2 = sd.run_flat(queries)
+    l2, s2, so2 = sd.run_flat(queries)
     assert not sd.last_overflow  # chunk-global caps did NOT trip
+    from compseed_tpu.pipeline.chain import l_rep_one
     for r, q in enumerate(queries):
         want = seeding.collect_matches(tiny_fm, opt, q)
-        got = [tuple(int(x) for x in row)
-               for row in m2[mo2[r]:mo2[r + 1]]]
-        wall = [(beg, end, s) for (_, _, s, beg, end) in want]
-        assert got == wall, f"read {r}"
+        wrep = l_rep_one([(b, e, s) for (_, _, s, b, e) in want],
+                         opt.max_occ)
+        assert int(l2[r]) == wrep, f"read {r}"
+        wseeds = seeding.sample_seeds(opt, want)
+        seeding.resolve_sal(tiny_fm, [wseeds])
+        got = [tuple(int(x) for x in row) for row in s2[so2[r]:so2[r + 1]]]
+        assert got == [(x.rbeg, x.qbeg, x.len) for x in wseeds], f"read {r}"
 
 
 def _pool_from_scan(dfi, qarr, rlens, GP):
@@ -261,13 +264,15 @@ def test_forward_dedup_adaptive_disable(tiny_fm, monkeypatch):
                         lambda R, L: [(1, 8), (1, L + 2), (1, L + 2)])
     sd = DeviceSeeder(opt, tiny_fm, dedup=True)
     assert not sd.fwd_disabled
-    m1, mo1, s1, so1 = sd.run_flat(queries)
+    l1, s1, so1 = sd.run_flat(queries)
     assert sd.last_overflow          # chunk fell back...
     assert sd.fwd_disabled           # ...and the path self-disabled
-    m2, mo2, s2, so2 = sd.run_flat(queries)
+    l2, s2, so2 = sd.run_flat(queries)
     assert not sd.last_overflow      # non-fwd path, no overflow
-    assert np.array_equal(m1, m2) and np.array_equal(s1, s2)
+    assert np.array_equal(l1, l2) and np.array_equal(s1, s2)
+    from compseed_tpu.pipeline.chain import l_rep_one
     for r, q in enumerate(queries):
         want = seeding.collect_matches(tiny_fm, opt, q)
-        got = [tuple(int(x) for x in row) for row in m2[mo2[r]:mo2[r+1]]]
-        assert got == [(b, e, s) for (_, _, s, b, e) in want], f"read {r}"
+        wrep = l_rep_one([(b, e, s) for (_, _, s, b, e) in want],
+                         opt.max_occ)
+        assert int(l2[r]) == wrep, f"read {r}"
