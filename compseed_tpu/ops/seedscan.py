@@ -648,12 +648,27 @@ def forward_scan_dedup(fm: DeviceFMIndex, qarr, rlens, GP: int,
 
     for (U, B) in stages:
         U = min(U, n_lanes)
-        # ---- group lanes by (interval, B-char content window, mh).
+        # ---- group lanes by (l-interval, B-char content window, mh).
         # Deliberately NOT by position: FM states depend only on the
         # consumed substring, so two reads covering the same genomic
         # region share walks at *different* offsets — the dominant
         # redundancy in compressor-reordered batches.  All positions in
         # the rep's outcome are shifted per lane afterwards.
+        #
+        # The key uses (l, s), NOT (k, s): a forward step ranks at the
+        # l coordinate (extend_batch is_back=False, ops/fm.py:91-95), so
+        # every size/stop decision is a function of (l, s, content)
+        # while k only accumulates deltas that are themselves functions
+        # of (l, s, base).  Keying on k instead would (a) wrongly merge
+        # lanes whose consumed strings are right-extensions of each
+        # other — same (k, s), different l, divergent futures (see
+        # test_forward_scan_dedup_l_domain_key) — and (b) miss the
+        # legitimate mirror case (same l, different k: one lane entered
+        # the shared region mid-sweep later than the other), which is
+        # the phase-shifted sharing compressor-reordered batches are
+        # full of.  Each member's k is delta-adjusted on scatter, the
+        # exact mirror of the backward dedup's l adjustment
+        # (seeder2.py::j_round1).
         pwr1 = jnp.uint64(_pow_u64(_BM1, B))
         pwr2 = jnp.uint64(_pow_u64(_BM2, B))
         pcol = jnp.clip(pos, 0, L)
@@ -662,7 +677,7 @@ def forward_scan_dedup(fm: DeviceFMIndex, qarr, rlens, GP: int,
         valid = alive
         keys = [jnp.where(valid, w1.astype(jnp.int64), big),
                 jnp.where(valid, w2.astype(jnp.int64), big),
-                jnp.where(valid, k.astype(jnp.int64), big),
+                jnp.where(valid, l.astype(jnp.int64), big),
                 jnp.where(valid, s.astype(jnp.int64), big),
                 jnp.where(valid, mh.astype(jnp.int64), big)]
         if mode == "r3":
@@ -708,8 +723,10 @@ def forward_scan_dedup(fm: DeviceFMIndex, qarr, rlens, GP: int,
         was = alive
         rep_pre = pos[rep_take]          # rep pre-stage positions (U,)
         rep_piv0 = pivot[rep_take]       # rep entry pivots (U,)
+        rep_k0 = k[rep_take]             # rep entry k (U,)
         delta = pos - rep_pre[group]
         piv0_g = rep_piv0[group]
+        dk = k - rep_k0[group]           # member-vs-rep k offset
 
         def shift_pos(v):
             return v + delta
@@ -717,16 +734,23 @@ def forward_scan_dedup(fm: DeviceFMIndex, qarr, rlens, GP: int,
         def shift_piv(v, own):
             return jnp.where(v == piv0_g, own, v + delta)
 
-        # flush this stage's pushes (per lane, from its rep's record)
+        # flush this stage's pushes (per lane, from its rep's record).
+        # A recorded pivot equal to the rep's entry pivot identifies a
+        # pre-respawn row (respawned pivots are >= the entry pos, which
+        # is > the entry pivot, so no collision): those rows inherit the
+        # member's entry-k offset dk; post-respawn rows are fully
+        # content-determined and shared verbatim.
         pf = st["pf"][group] & was[:, None]                   # (n, B)
         ends = st["pe"][group] + delta[:, None]
-        pivs = jnp.where(st["pp"][group] == piv0_g[:, None],
-                         pivot[:, None],
+        pre_respawn = st["pp"][group] == piv0_g[:, None]
+        pivs = jnp.where(pre_respawn, pivot[:, None],
                          st["pp"][group] + delta[:, None])
+        pks = jnp.where(pre_respawn, st["pk"][group] + dk[:, None],
+                        st["pk"][group])
         row_id = jnp.arange(n_lanes, dtype=i32) if record_lane_index \
             else lane_rid
         rows = jnp.stack([
-            st["pk"][group].reshape(-1),
+            pks.reshape(-1),
             st["pl"][group].reshape(-1),
             st["ps"][group].reshape(-1),
             ends.reshape(-1).astype(dt),
@@ -742,7 +766,10 @@ def forward_scan_dedup(fm: DeviceFMIndex, qarr, rlens, GP: int,
         cursor = cursor + n_push
         povf = povf | (cursor > GP)
 
-        k = jnp.where(was, st["k"][group], k)
+        k = jnp.where(was,
+                      jnp.where(st["pivot"][group] == piv0_g,
+                                st["k"][group] + dk, st["k"][group]),
+                      k)
         l = jnp.where(was, st["l"][group], l)
         s = jnp.where(was, st["s"][group], s)
         pivot = jnp.where(was, shift_piv(st["pivot"][group], pivot),

@@ -226,6 +226,78 @@ def test_forward_scan_dedup_exact(tiny_fm):
     assert int(fc) < int(fq)
 
 
+def test_forward_scan_dedup_l_domain_key(tiny_fm):
+    """Forward-sweep group keys must be exact for the FORWARD dynamics.
+
+    ``extend_batch(is_back=False)`` ranks at x = ik[1] (the l coordinate,
+    ops/fm.py:91-95): a forward step's sizes — hence every stop/push
+    decision — are functions of (l, s), while k only accumulates shared
+    deltas.  Two mid-sweep lanes can share (k, s) AND upcoming content
+    while one's consumed string is a right-extension of the other's
+    (interval(X) == interval(X·Z) whenever every X occurrence continues
+    with Z), yet their l values — interval(revcomp) — differ, so their
+    futures diverge.  Keying the group on (k, s) merges them and corrupts
+    the pool; the key must use (l, s) with k delta-adjusted per member
+    (the exact mirror of the backward dedup's l adjustment,
+    seeder2.py::j_round1).
+
+    Construction: genome where "AC" occurs exactly twice, both times
+    followed by "GG" (and no "GT" anywhere, so the revcomp strand adds no
+    occurrence).  Junk prefixes of lengths 7/5 make lane1 die+respawn so
+    it has consumed exactly "AC" and lane2 exactly "ACGG" at the same
+    stage boundary with identical remaining read content: same (k, s),
+    same window hash, different l, divergent futures.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+    from compseed_tpu.cpu import fm_oracle as fo
+    from compseed_tpu.ops import seedscan as ss
+    from compseed_tpu.utils import NT4_TABLE
+    from tests.conftest import _index_from_codes
+
+    def codes(s):
+        return NT4_TABLE[np.frombuffer(s.encode(), np.uint8)].copy()
+
+    B1, B2 = "ACGGGA", "ACGGAA"
+    J1, J2 = "CTCTCTC", "CTCTC"
+    genome = B1 + B2 + "TT" + J1 + "TT" + J2 + "TT" + "TA" * 48
+    assert genome.count("AC") == 2 and "GT" not in genome
+    _, _, fm = _index_from_codes(codes(genome))
+
+    # oracle check of the mechanism: same (k, s), different l
+    def fwd_state(pat):
+        q = codes(pat)
+        ik = fo.set_intv(fm, int(q[0]))
+        for c in q[1:]:
+            ik = fo.extend(fm, ik, 0)[3 - int(c)]
+        return ik
+
+    st1, st2 = fwd_state("AC"), fwd_state("ACGG")
+    assert st1[0] == st2[0] and st1[2] == st2[2], "construction: same (k,s)"
+    assert st1[1] != st2[1], "construction: different l"
+
+    W = "GA" + "TCCA" * 4
+    read1 = codes(J1 + "AC" + W)
+    read2 = codes(J2 + "ACGG" + W)
+    R, L = 8, 32
+    qarr = np.full((R, L), 4, np.uint8)
+    rlens = np.zeros(R, np.int32)
+    for i, q in enumerate([read1, read2]):
+        qarr[i, :len(q)] = q
+        rlens[i] = len(q)
+    from compseed_tpu.ops.device_index import to_device
+    dfi = to_device(fm)
+    GP = 48 * R
+    pool0 = _pool_from_scan(dfi, qarr, rlens, GP)
+    stages = [(R, 8), (R, 8), (R, 16), (R, L + 2), (R, L + 2)]
+    pool1, n1, ovf, fq, fc = ss.forward_scan_dedup(
+        dfi, jnp.asarray(qarr), jnp.asarray(rlens), GP, stages)
+    assert not bool(ovf)
+    a = pool0[pool0[:, 6] != 0]
+    b = np.asarray(pool1)[np.asarray(pool1)[:, 6] != 0]
+    assert len(a) == len(b) and np.array_equal(a, b)
+
+
 def test_forward_scan_dedup_overflow_flag(tiny_fm):
     """Caps below the unique-group count must raise the overflow flag
     (the caller falls back to the exact path)."""
