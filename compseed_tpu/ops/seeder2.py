@@ -126,6 +126,14 @@ class DeviceSeeder:
         # sharing input would otherwise fall back every chunk)
         self.fwd_disabled = \
             os.environ.get("COMPSEED_FWD_DEDUP", "1") == "0"
+        # cross-round extension-chain memo (temporal-free sharing, one
+        # memo for all 3 rounds) instead of the stage-synchronous
+        # worklist.  Default ON: on the 30x bench input it saves ~30%
+        # of forward steps where the staged path overflows its rep caps
+        # and self-disables; its lossy caps need no fallback.  =0
+        # selects the staged engine for A/B.
+        self.fwd_memo = \
+            os.environ.get("COMPSEED_FWD_MEMO", "1") == "1"
         self.bwd_disabled = \
             os.environ.get("COMPSEED_BWD_DEDUP", "1") == "0"
         self._jits: dict = {}
@@ -178,18 +186,42 @@ class DeviceSeeder:
         use_fwd = use_dedup and not self.fwd_disabled
         use_bwd = use_dedup and not self.bwd_disabled
 
+        # COMPSEED_FWD_MEMO=1 swaps the stage-synchronous forward dedup
+        # for the cross-round extension-chain memo (ss.chain_scan): one
+        # memo dict threads r1 -> r2 -> r3 so later rounds re-use the
+        # chains round 1 walked (the bulk of the reference SST's hits).
+        use_memo = self.fwd_memo
+        MEMO_M = 32 * R                       # chain-store rows
+        MEMO_H = 1 << (2 * MEMO_M - 1).bit_length()   # table slots
+
+        def fwd_scan(fm_, qa, rl, cap, stages_, memo, u_cap=None, **kw):
+            if use_memo:
+                return ss.chain_scan(fm_, qa, rl, cap, memo,
+                                     u_cap=u_cap, **kw)
+            pool_, n_, ovf_, fq_, fc_ = ss.forward_scan_dedup(
+                fm_, qa, rl, cap, stages_, **kw)
+            return pool_, n_, ovf_, fq_, fc_, memo
+
+        def init_memo(dt_):
+            if use_memo:
+                return ss.make_chain_memo(MEMO_H, MEMO_M, ss.CHAIN_W,
+                                          dt_)
+            return jnp.zeros(0, jnp.int32)     # inert pytree placeholder
+
         @jax.jit
         def j_round1(fm, qarr, rlens):
             R_ = qarr.shape[0]
             qflat = qarr.reshape(-1)
             fovf = jnp.asarray(False)
+            memo = init_memo(dt)
             if use_fwd:
                 # forward SST reuse (SST.h:60-71): staged sweep worklist,
                 # one representative walk per (interval, content-window)
                 # group; cap overflow raises fovf and the seeder rebuilds
                 # without the forward path (adaptive)
-                pool, n_pool, fovf, fqc, fcc = ss.forward_scan_dedup(
-                    fm, qarr, rlens, GP, fwd_stages)
+                pool, n_pool, fovf, fqc, fcc, memo = fwd_scan(
+                    fm, qarr, rlens, GP, fwd_stages, memo,
+                    u_cap=max(R_ // 2, 64))
                 bad = jnp.zeros(R_, jnp.bool_)        # no per-read caps
                 povf = jnp.asarray(False)
             else:
@@ -221,10 +253,10 @@ class DeviceSeeder:
                 pool, death, fk, fl, fs, opt.min_seed_len, (5, 4))
             flags = jnp.stack([povf, wovf, fovf, dovf])  # chunk-global
             return (pool, ok, rid, k, l, s, beg, end, flags, bad,
-                    n_pool, n_u, fqc, fcc)
+                    n_pool, n_u, fqc, fcc, memo)
 
         @jax.jit
-        def j_round2(fm, qarr, rlens, ok, rid, k, s, beg, end):
+        def j_round2(fm, qarr, rlens, ok, rid, k, s, beg, end, memo):
             # task extraction (comp_seed.cpp:2274-2286)
             sel = ok & ((end - beg) >= split_len) & (s <= opt.split_width)
             order = jnp.argsort(~sel, stable=True)
@@ -240,9 +272,12 @@ class DeviceSeeder:
             fq2 = fc2 = jnp.asarray(0, i32)
             if use_fwd:
                 # round-2 re-seed scans through the forward-dedup
-                # worklist: per-lane pivots/min_hits, single sweep
-                pool2, n2, fovf2, fq2, fc2 = ss.forward_scan_dedup(
-                    fm, qarr, rlens, GP2, fwd_stages2, min_hits=t_mh,
+                # worklist: per-lane pivots/min_hits, single sweep;
+                # in memo mode the tasks mostly consume chains round 1
+                # already walked (min_hits is lane-side, not in the key)
+                pool2, n2, fovf2, fq2, fc2, memo = fwd_scan(
+                    fm, qarr, rlens, GP2, fwd_stages2, memo,
+                    u_cap=max(R_ // 4, 64), min_hits=t_mh,
                     pivots0=t_mid.astype(i32), rids=t_rid.astype(i32),
                     advance=False, record_lane_index=True,
                     active=t_valid)
@@ -289,18 +324,19 @@ class DeviceSeeder:
                 pool2, death2, fk2, fl2, fs2, opt.min_seed_len, (7,))
             flags = jnp.stack([tovf, povf2, wovf2, fovf2])  # chunk-global
             return (ok2, rid2, k2, l2, s2, beg2, end2, flags, bad,
-                    fq2, fc2)
+                    fq2, fc2, memo)
 
         @jax.jit
-        def j_round3(fm, qarr, rlens):
+        def j_round3(fm, qarr, rlens, memo):
             R_ = qarr.shape[0]
             if use_fwd and int(opt.max_mem_intv) > 0:
                 # greedy round-3 through the forward-dedup worklist
                 # (tem_forward_sst, comp_seed.cpp:141-160): same sweep
                 # machinery in 'r3' mode — one rep walk per group
                 GP3 = R_ * MMEM3
-                pool3, n3, ovf3g, fq3, fc3 = ss.forward_scan_dedup(
-                    fm, qarr, rlens, GP3, fwd_stages, mode="r3",
+                pool3, n3, ovf3g, fq3, fc3, memo = fwd_scan(
+                    fm, qarr, rlens, GP3, fwd_stages, memo, mode="r3",
+                    u_cap=max(R_ // 2, 64),
                     min_len=int(opt.min_seed_len),
                     max_intv=int(opt.max_mem_intv))
                 valid3 = pool3[:, 6] != 0
@@ -465,9 +501,9 @@ class DeviceSeeder:
             replicated index, like each kt_for thread owning a private
             SST over its tile, comp_seed.cpp:2541-2548)."""
             (pool, ok, rid, k, l, s, beg, end, ovf1, bad1, n_pool, n_u,
-             fqc, fcc) = j_round1(fm, qd, rd)
-            r2 = j_round2(fm, qd, rd, ok, rid, k, s, beg, end)
-            r3 = j_round3(fm, qd, rd)
+             fqc, fcc, memo) = j_round1(fm, qd, rd)
+            r2 = j_round2(fm, qd, rd, ok, rid, k, s, beg, end, memo)
+            r3 = j_round3(fm, qd, rd, r2[11])
             merged = j_merge(ok, rid, k, l, s, beg, end, *r2[:7], *r3[:7])
             mok, mrid, mk, ml, ms, mbeg, mend, mtotal, movf = merged
             seeds = j_seeds(fm, mok, mrid, mk, ms, mbeg, mend)
@@ -503,9 +539,9 @@ class DeviceSeeder:
         self.last_qd = qd
         self.last_L = L
         (pool, ok, rid, k, l, s, beg, end, ovf1, bad1, n_pool, n_u,
-         fqc, fcc) = fns["r1"](self.dfi, qd, rd)
-        r2 = fns["r2"](self.dfi, qd, rd, ok, rid, k, s, beg, end)
-        r3 = fns["r3"](self.dfi, qd, rd)
+         fqc, fcc, memo) = fns["r1"](self.dfi, qd, rd)
+        r2 = fns["r2"](self.dfi, qd, rd, ok, rid, k, s, beg, end, memo)
+        r3 = fns["r3"](self.dfi, qd, rd, r2[11])
         merged = fns["merge"](ok, rid, k, l, s, beg, end,
                               *r2[:7], *r3[:7])
         mok, mrid, mk, ml, ms, mbeg, mend, mtotal, movf = merged
@@ -626,9 +662,9 @@ class DeviceSeeder:
         qd = jnp.asarray(qarr)
         rd = jnp.asarray(rlens)
         (pool, ok, rid, k, l, s, beg, end, ovf1, bad1, n_pool, n_u,
-         fqc, fcc) = fns["r1"](self.dfi, qd, rd)
-        r2 = fns["r2"](self.dfi, qd, rd, ok, rid, k, s, beg, end)
-        r3 = fns["r3"](self.dfi, qd, rd)
+         fqc, fcc, memo) = fns["r1"](self.dfi, qd, rd)
+        r2 = fns["r2"](self.dfi, qd, rd, ok, rid, k, s, beg, end, memo)
+        r3 = fns["r3"](self.dfi, qd, rd, r2[11])
         merged = fns["merge"](ok, rid, k, l, s, beg, end,
                               *r2[:7], *r3[:7])
         mok, mrid, mk, ml, ms, mbeg, mend, mtotal, movf = merged

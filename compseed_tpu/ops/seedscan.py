@@ -809,6 +809,367 @@ def forward_scan_dedup(fm: DeviceFMIndex, qarr, rlens, GP: int,
     return pool, cursor, ovf, fq, fc
 
 
+CHAIN_W = 8           # extension-chain chunk width (see chain_scan)
+
+# splitmix64-style avalanche constants for the memo's slot hash
+_MX1 = 0xBF58476D1CE4E5B9
+_MX2 = 0x94D049BB133111EB
+_MX3 = 0x9E3779B97F4A7C15
+
+
+def make_chain_memo(H: int, M: int, W: int, dt):
+    """Zeroed chain-memo state (the cross-round SST).
+
+    A direct-mapped hash TABLE of H slots (power of two) holds the keys
+    — (l0, s0, 128-bit content-window hash) — plus the chain metadata
+    (entry k0, length, pointer); the chain state sequences live in a
+    dense append-only store of M rows.  Collisions evict (the newest
+    entry wins) and a full store stops inserting: both only LOSE reuse,
+    never correctness, so unlike every other cap in this file the memo
+    needs no overflow fallback.  Lookup and insert are O(lanes) gathers
+    and scatters per round — no O(M) sort ever touches the table (the
+    reference trie's pointer-chasing lookup, SST.h:60-92, costs O(1)
+    per child for the same reason)."""
+    zed = jnp.zeros
+    assert H & (H - 1) == 0, "H must be a power of two"
+    return dict(
+        th1=zed(H, jnp.uint64), th2=zed(H, jnp.uint64),
+        tl0=zed(H, dt), ts0=zed(H, dt), tk0=zed(H, dt),
+        tln=zed(H, jnp.int32), tp=zed(H, jnp.int32),
+        tv=zed(H, jnp.bool_),
+        ck=zed((M, W), dt), cl=zed((M, W), dt), cs=zed((M, W), dt),
+        cur=jnp.asarray(0, jnp.int32),
+    )
+
+
+MEMO_KEYS = ("th1", "th2", "tl0", "ts0", "tk0", "tln", "tp", "tv",
+             "ck", "cl", "cs", "cur")
+
+
+def _slot_hash(h1, h2, l, s, H: int):
+    """Avalanched slot index in [0, H) from the full chain key."""
+    z = h1 ^ (h2 * jnp.uint64(_MX3)) ^ \
+        (l.astype(jnp.uint64) * jnp.uint64(_MX1)) ^ \
+        (s.astype(jnp.uint64) * jnp.uint64(_MX2))
+    z = (z ^ (z >> jnp.uint64(33))) * jnp.uint64(_MX1)
+    z = z ^ (z >> jnp.uint64(29))
+    return (z & jnp.uint64(H - 1)).astype(jnp.int32)
+
+
+def _chain_walk(fm: DeviceFMIndex, qflat, L: int, W: int,
+                k, l, s, pos, rid, valid):
+    """W pure forward extensions from (k, l, s) at ``pos`` — the
+    mode-free unit the memo stores.  Recording stops at the first
+    ambiguous base (code > 3 or past the row), where every consumer
+    mode stops anyway; ln < W encodes that amb offset.  Returns
+    (ck, cl, cs (U, W) post-extension states, ln (U,))."""
+    i32 = jnp.int32
+    dt = fm.dtype
+    U = k.shape[0]
+
+    def body(j, carry):
+        k, l, s, ln, alive, ck, cl, cs = carry
+        p = pos + j
+        base = jnp.where(
+            p < jnp.asarray(L, i32),
+            qflat[jnp.clip(rid * L + p, 0,
+                           qflat.shape[0] - 1)].astype(i32),
+            4)
+        step = alive & (base <= 3)
+        c = 3 - jnp.clip(base, 0, 3)
+        ik = jnp.stack([k, l, s], axis=-1)
+        ok = dfm.extend_batch(fm, ik, is_back=False)          # (U, 4, 3)
+        okc = jnp.take_along_axis(
+            ok, c[:, None, None].astype(i32), axis=1)[:, 0, :]
+        k = jnp.where(step, okc[:, 0], k)
+        l = jnp.where(step, okc[:, 1], l)
+        s = jnp.where(step, okc[:, 2], s)
+        ck = ck.at[:, j].set(k)
+        cl = cl.at[:, j].set(l)
+        cs = cs.at[:, j].set(s)
+        ln = ln + step.astype(i32)
+        return k, l, s, ln, step, ck, cl, cs
+
+    zed = jnp.zeros
+    init = (k, l, s, zed(U, i32), valid,
+            zed((U, W), dt), zed((U, W), dt), zed((U, W), dt))
+    out = jax.lax.fori_loop(0, W, body, init)
+    return out[5], out[6], out[7], out[3]
+
+
+def chain_scan(fm: DeviceFMIndex, qarr, rlens, GP: int, memo: dict,
+               min_hits=None, pivots0=None, rids=None,
+               advance: bool = True, mode: str = "lep",
+               min_len: int = 0, max_intv: int = 0,
+               record_lane_index: bool = False, active=None,
+               W: int = CHAIN_W, u_cap: int | None = None):
+    """Forward scan with a cross-round, cross-mode extension-chain memo
+    — the TPU rendering of the reference's forward SST trie
+    (mapping/SST.h:60-92), where a large share of the hits are rounds
+    2/3 re-walking content round 1 already paid for.
+
+    The unit of sharing is a CHAIN: W pure forward extensions from a
+    bi-interval state, keyed by (l, s, 128-bit hash of the W upcoming
+    chars).  Forward steps rank at l (ops/fm.py:91-95), so (l, s,
+    content) determines every l_j/s_j of the chain exactly, while each
+    consumer re-bases k by its own offset (dk = lane k0 - entry k0) —
+    the l-domain lemma the staged dedup's scatter uses.  Chains carry
+    NO stop/push semantics: min_hits (round 2), the greedy round-3
+    rule, and the LEP push/stop logic are all evaluated lane-side on
+    the gathered states, which is what lets ONE memo serve all three
+    seeding rounds (pass the dict returned by round k into round k+1).
+
+    Per while-loop round each live lane probes the memo hash table (one
+    gather); misses co-group by the same (l, s, window) key and one
+    representative per group walks the chain (u_cap bounds the per-
+    round walk width; excess groups just wait a round).  The sweep
+    structure — pivot respawns, LEP pushes sorted (rid, pivot, end) —
+    is reconstructed lane-side, identically to make_scan.
+
+    Returns (pool (GP, 7), n_rows, ovf, fq, fc, memo').
+    """
+    dt = fm.dtype
+    i32 = jnp.int32
+    R, L = qarr.shape
+    n_lanes = R if rids is None else rids.shape[0]
+    U = u_cap if u_cap is not None else max(n_lanes // 2, 64)
+    U = min(U, n_lanes)
+    H = memo["th1"].shape[0]
+    M = memo["ck"].shape[0]
+    RCAP = 3 * L + 16
+
+    qflat = qarr.reshape(-1)
+    rlens = rlens.astype(i32)
+    A1, A2 = padded_prefix_state(qarr, W + 2)
+    nxt = next_nonamb(qarr)
+    lane_rid = jnp.arange(R, dtype=i32) if rids is None \
+        else rids.astype(i32)
+    lane_rlen = rlens[lane_rid]
+    mh = jnp.ones(n_lanes, dt) if min_hits is None \
+        else jnp.maximum(min_hits.astype(dt), 1)
+    row_id = jnp.arange(n_lanes, dtype=i32) if record_lane_index \
+        else lane_rid
+
+    p0 = jnp.zeros(n_lanes, i32) if pivots0 is None \
+        else pivots0.astype(i32)
+    pivot = nxt[lane_rid, jnp.clip(p0, 0, L - 1)]
+    alive = (pivot < lane_rlen) & (lane_rlen > 0)
+    if pivots0 is not None:
+        alive = alive & (p0 < lane_rlen)
+    if active is not None:
+        alive = alive & active
+
+    base0 = qflat[jnp.clip(lane_rid * L + pivot, 0, qflat.shape[0] - 1)]
+    ik0 = _set_intv(fm, jnp.clip(base0.astype(i32), 0, 3)).T
+    pwr1 = jnp.uint64(_pow_u64(_BM1, W))
+    pwr2 = jnp.uint64(_pow_u64(_BM2, W))
+    big = jnp.iinfo(jnp.int64).max
+    jj = jnp.arange(W, dtype=i32)[None, :]
+
+    st0 = dict(memo)
+    st0.update(
+        pivot=pivot, pos=pivot + 1, alive=alive,
+        k=jnp.where(alive, ik0[:, 0], 0), l=jnp.where(alive, ik0[:, 1], 0),
+        s=jnp.where(alive, ik0[:, 2], 0),
+        pool=jnp.zeros((GP, 7), dt), cursor=jnp.asarray(0, i32),
+        povf=jnp.asarray(False),
+        fq=jnp.asarray(0, i32), fc=jnp.asarray(0, i32),
+        rnd=jnp.asarray(0, i32))
+
+    def body(st):
+        pivot, pos, lalive = st["pivot"], st["pos"], st["alive"]
+        k, l, s = st["k"], st["l"], st["s"]
+        pc = jnp.clip(pos, 0, L + 1)
+        w1 = A1[lane_rid, pc + W] - A1[lane_rid, pc] * pwr1
+        w2 = A2[lane_rid, pc + W] - A2[lane_rid, pc] * pwr2
+
+        # ---- probe the memo table (one gather per lane).  ALL hit
+        # metadata is read here, BEFORE this round's inserts: a slot can
+        # be evicted by an insert below, and a hit must apply the entry
+        # it matched, not the new occupant.  (The chain STORE rows are
+        # append-only, so the ptr gathered here stays valid.)
+        slot = _slot_hash(w1, w2, l, s, H)
+        hit = lalive & st["tv"][slot] & \
+            (st["th1"][slot] == w1) & (st["th2"][slot] == w2) & \
+            (st["tl0"][slot] == l) & (st["ts0"][slot] == s)
+        ptr = jnp.clip(st["tp"][slot], 0, M - 1)
+        hk0 = st["tk0"][slot]
+        hln = st["tln"][slot]
+
+        # ---- group misses by the same (window, l, s) key
+        miss = lalive & ~hit
+        keys = [jnp.where(miss, w1.astype(jnp.int64), big),
+                jnp.where(miss, w2.astype(jnp.int64), big),
+                jnp.where(miss, l.astype(jnp.int64), big),
+                jnp.where(miss, s.astype(jnp.int64), big)]
+        order = jnp.lexsort(tuple(reversed(keys)))
+        ks = [x[order] for x in keys]
+        vs = miss[order]
+        diff = jnp.concatenate([
+            jnp.asarray([True]),
+            jnp.stack([x[1:] != x[:-1] for x in ks]).any(axis=0)])
+        head = vs & diff
+        gidx_sorted = jnp.cumsum(head, dtype=i32) - 1
+        n_u = jnp.sum(head, dtype=i32)
+        order2 = jnp.argsort(~head, stable=True)
+        rep_take = order[order2][:U]
+        sortpos = jnp.zeros(n_lanes, i32).at[order].set(
+            jnp.arange(n_lanes, dtype=i32))
+        group = jnp.clip(gidx_sorted[sortpos], 0, U - 1)
+        walked = miss & (gidx_sorted[sortpos] < jnp.minimum(n_u, U))
+
+        # ---- representatives walk one chain each
+        rep_valid = (jnp.arange(U, dtype=i32) < jnp.minimum(n_u, U)) & \
+            miss[rep_take]
+        ck, cl, cs, ln = _chain_walk(
+            fm, qflat, L, W, k[rep_take], l[rep_take], s[rep_take],
+            pos[rep_take], lane_rid[rep_take], rep_valid)
+        st = dict(st)
+        st["fc"] = st["fc"] + jnp.sum(jnp.where(rep_valid, ln, 0),
+                                      dtype=i32)
+
+        # ---- insert: chains append to the store (drop when full); the
+        # table slot is overwritten whole (newest wins).  Within-round
+        # keys are unique (they are the group heads), but two keys can
+        # share a SLOT — keep one so the per-field scatters stay
+        # mutually consistent (duplicate-index scatter order is
+        # undefined, and a slot mixing two entries would corrupt a key).
+        rank = jnp.cumsum(rep_valid, dtype=i32) - 1
+        cptr = st["cur"] + rank
+        can = rep_valid & (cptr < M)
+        rslot = slot[rep_take]
+        rsort = jnp.argsort(
+            jnp.where(can, rslot, H).astype(jnp.int32), stable=True)
+        rs_sorted = rslot[rsort]
+        first = jnp.concatenate([jnp.asarray([True]),
+                                 rs_sorted[1:] != rs_sorted[:-1]])
+        keep = jnp.zeros(U, jnp.bool_).at[rsort].set(first) & can
+        tslot = jnp.where(keep, rslot, H)
+        st["ck"] = st["ck"].at[jnp.where(can, cptr, M)].set(
+            ck, mode="drop")
+        st["cl"] = st["cl"].at[jnp.where(can, cptr, M)].set(
+            cl, mode="drop")
+        st["cs"] = st["cs"].at[jnp.where(can, cptr, M)].set(
+            cs, mode="drop")
+        st["th1"] = st["th1"].at[tslot].set(w1[rep_take], mode="drop")
+        st["th2"] = st["th2"].at[tslot].set(w2[rep_take], mode="drop")
+        st["tl0"] = st["tl0"].at[tslot].set(l[rep_take], mode="drop")
+        st["ts0"] = st["ts0"].at[tslot].set(s[rep_take], mode="drop")
+        st["tk0"] = st["tk0"].at[tslot].set(k[rep_take], mode="drop")
+        st["tln"] = st["tln"].at[tslot].set(ln, mode="drop")
+        st["tp"] = st["tp"].at[tslot].set(cptr, mode="drop")
+        st["tv"] = st["tv"].at[tslot].set(True, mode="drop")
+        st["cur"] = st["cur"] + jnp.sum(can, dtype=i32)
+
+        # ---- apply: every lane consumes its chain (entry or rep walk)
+        memb = walked
+        applied = hit | memb
+
+        def pick(tab, wbuf):
+            return jnp.where(hit[:, None], tab[ptr], wbuf[group])
+
+        src_k0 = jnp.where(hit, hk0, k[rep_take][group])
+        src_ln = jnp.where(hit, hln, ln[group])
+        CK = pick(st["ck"], ck) + (k - src_k0)[:, None]
+        CL = pick(st["cl"], cl)
+        CS = pick(st["cs"], cs)
+        prevk = jnp.concatenate([k[:, None], CK[:, :-1]], axis=1)
+        prevl = jnp.concatenate([l[:, None], CL[:, :-1]], axis=1)
+        prevs = jnp.concatenate([s[:, None], CS[:, :-1]], axis=1)
+        real = jj < src_ln[:, None]
+        amb_here = (jj == src_ln[:, None]) & (src_ln[:, None] < W)
+        if mode == "r3":
+            # bwt_seed_strategy1 (FM_index/bwt.c:358-379): emit the
+            # POST-extension interval at the first position where it
+            # drops below max_intv at length >= min_len; amb stops
+            # without a push; restart past the stop either way
+            hitj = real & (CS < jnp.asarray(max_intv, dt)) & \
+                ((pos[:, None] + jj - pivot[:, None]) >=
+                 jnp.asarray(min_len, i32))
+            push = hitj
+            stop = hitj | amb_here
+            recK, recL, recS = CK, CL, CS
+            recE = pos[:, None] + jj + 1
+        else:
+            changed = CS != prevs
+            small = CS < mh[:, None]
+            push = (real & changed) | amb_here
+            stop = (real & changed & small) | amb_here
+            recK, recL, recS = prevk, prevl, prevs
+            recE = pos[:, None] + jj
+        has_stop = jnp.any(stop, axis=1)
+        t = jnp.argmax(stop, axis=1).astype(i32)
+        t_eff = jnp.where(has_stop, t, W)
+        push = push & (jj <= t_eff[:, None]) & applied[:, None]
+        cons = jnp.where(has_stop, t + 1, W)
+        st["fq"] = st["fq"] + jnp.sum(jnp.where(applied, cons, 0),
+                                      dtype=i32)
+
+        # ---- flush pushes
+        rows = jnp.stack([
+            recK.reshape(-1), recL.reshape(-1), recS.reshape(-1),
+            recE.reshape(-1).astype(dt),
+            jnp.broadcast_to(pivot[:, None], (n_lanes, W))
+            .reshape(-1).astype(dt),
+            jnp.broadcast_to(row_id[:, None], (n_lanes, W))
+            .reshape(-1).astype(dt),
+            jnp.ones(n_lanes * W, dt)], axis=1)
+        pflat = push.reshape(-1)
+        rank = jnp.cumsum(pflat, dtype=i32) - 1
+        pslot = jnp.where(pflat, st["cursor"] + rank, GP)
+        st["pool"] = st["pool"].at[pslot].set(rows, mode="drop")
+        st["cursor"] = st["cursor"] + jnp.sum(pflat, dtype=i32)
+        st["povf"] = st["povf"] | (st["cursor"] > GP)
+
+        # ---- advance / respawn
+        stop_pos = pos + t
+        amb_stop = has_stop & (t == src_ln)
+        if mode == "r3":
+            npv = stop_pos + 1
+        else:
+            npv = jnp.where(amb_stop, stop_pos + 1, stop_pos)
+        newpiv = jnp.where(npv < L,
+                           nxt[lane_rid, jnp.clip(npv, 0, L - 1)], L)
+        respawn = applied & has_stop & jnp.asarray(advance) & \
+            (newpiv < lane_rlen)
+        through = applied & ~has_stop                 # mid-sweep, ln == W
+        baseN = qflat[jnp.clip(lane_rid * L + newpiv, 0,
+                               qflat.shape[0] - 1)]
+        ikN = _set_intv(fm, jnp.clip(baseN.astype(i32), 0, 3)).T
+        last = jnp.clip(src_ln - 1, 0, W - 1)[:, None]
+        endK = jnp.take_along_axis(CK, last, axis=1)[:, 0]
+        endL = jnp.take_along_axis(CL, last, axis=1)[:, 0]
+        endS = jnp.take_along_axis(CS, last, axis=1)[:, 0]
+        st["k"] = jnp.where(respawn, ikN[:, 0],
+                            jnp.where(through, endK, k))
+        st["l"] = jnp.where(respawn, ikN[:, 1],
+                            jnp.where(through, endL, l))
+        st["s"] = jnp.where(respawn, ikN[:, 2],
+                            jnp.where(through, endS, s))
+        st["pivot"] = jnp.where(respawn, newpiv, pivot)
+        st["pos"] = jnp.where(respawn, newpiv + 1,
+                              jnp.where(through, pos + W, pos))
+        st["alive"] = jnp.where(applied, respawn | through, lalive)
+        st["rnd"] = st["rnd"] + 1
+        return st
+
+    def cond(st):
+        return jnp.any(st["alive"]) & (st["rnd"] < RCAP)
+
+    st = jax.lax.while_loop(cond, body, st0)
+    ovf = st["povf"] | jnp.any(st["alive"])
+
+    pool = st["pool"]
+    pvalid = pool[:, 6] != 0
+    o_rid = jnp.where(pvalid, pool[:, 5].astype(jnp.int64), big)
+    o_piv = jnp.where(pvalid, pool[:, 4].astype(jnp.int64), big)
+    o_end = jnp.where(pvalid, pool[:, 3].astype(jnp.int64), big)
+    forder = jnp.lexsort((o_end, o_piv, o_rid))
+    pool = pool[forder]
+    memo_out = {kk: st[kk] for kk in MEMO_KEYS}
+    return pool, st["cursor"], ovf, st["fq"], st["fc"], memo_out
+
+
 def prefix_hashes(qarr):
     """(R, L) uint8 -> (R, L) uint64 rolling hashes; H[:, i] covers
     q[:, :i+1].  A backward walk from position i consumes exactly the

@@ -77,12 +77,12 @@ def main():
     t_r1 = timed("r1 scan+walk(+dedup)", fns["r1"], dfi0, qd, rd)
     r1 = fns["r1"](dfi0, qd, rd)
     (pool, ok, rid, k, l, s, beg, end, ovf1, bad1, n_pool, n_u,
-     fqc, fcc) = r1
+     fqc, fcc, memo) = r1
     t_r2 = timed("r2 reseed", fns["r2"], dfi0, qd, rd, ok, rid, k, s,
-                 beg, end)
-    r2 = fns["r2"](dfi0, qd, rd, ok, rid, k, s, beg, end)
-    t_r3 = timed("r3 greedy", fns["r3"], dfi0, qd, rd)
-    r3 = fns["r3"](dfi0, qd, rd)
+                 beg, end, memo)
+    r2 = fns["r2"](dfi0, qd, rd, ok, rid, k, s, beg, end, memo)
+    t_r3 = timed("r3 greedy", fns["r3"], dfi0, qd, rd, r2[11])
+    r3 = fns["r3"](dfi0, qd, rd, r2[11])
     t_mg = timed("merge/lexsort", fns["merge"], ok, rid, k, l, s, beg,
                  end, *r2[:7], *r3[:7])
     merged = fns["merge"](ok, rid, k, l, s, beg, end, *r2[:7], *r3[:7])

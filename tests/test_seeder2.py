@@ -325,10 +325,12 @@ def test_forward_scan_dedup_overflow_flag(tiny_fm):
 def test_forward_dedup_adaptive_disable(tiny_fm, monkeypatch):
     """A forward-cap overflow must (a) fall back to exact results for
     that chunk and (b) disable the forward path for subsequent chunks
-    instead of overflowing every time."""
+    instead of overflowing every time.  (Staged engine only: the chain
+    memo's caps are lossy, not overflowing.)"""
     import numpy as np
     from compseed_tpu.ops import seedscan as ss
 
+    monkeypatch.setenv("COMPSEED_FWD_MEMO", "0")
     opt = MemOptions()
     queries = _fixture_queries(48)
     # force-overflow caps: one rep lane, tiny budgets
@@ -348,3 +350,134 @@ def test_forward_dedup_adaptive_disable(tiny_fm, monkeypatch):
         wrep = l_rep_one([(b, e, s) for (_, _, s, b, e) in want],
                          opt.max_occ)
         assert int(l2[r]) == wrep, f"read {r}"
+
+def test_chain_scan_r1_exact(tiny_fm):
+    """The cross-round extension-chain memo (ss.chain_scan, the TPU
+    rendering of the forward SST trie) must emit the exact LEP pool of
+    the lockstep scan on adversarial reads: Ns, short reads, exact
+    duplicates, offset-shifted overlaps, mixed lengths."""
+    import jax.numpy as jnp
+    from compseed_tpu.ops import seedscan as ss
+    from compseed_tpu.ops.device_index import to_device
+
+    dfi = to_device(tiny_fm)
+    rng = np.random.default_rng(11)
+    queries = _fixture_queries(24)
+    extra = []
+    q0 = queries[0].copy()
+    q0[10] = 4
+    q0[11] = 4
+    extra.append(q0)                       # adjacent Ns
+    extra.append(queries[1][:23].copy())   # short
+    extra.append(queries[2].copy())        # exact duplicate
+    e2 = queries[2][7:80].copy()
+    extra.append(e2)                       # offset-shifted overlap
+    allq = queries + extra
+    R = len(allq)
+    L = 128
+    qarr = np.full((R, L), 4, np.uint8)
+    rlens = np.zeros(R, np.int32)
+    for i, q in enumerate(allq):
+        qarr[i, :len(q)] = q
+        rlens[i] = len(q)
+
+    from tests.test_seeder2 import _pool_from_scan
+    GP = 48 * R
+    pool0 = _pool_from_scan(dfi, qarr, rlens, GP)
+    memo = ss.make_chain_memo(1 << 14, 4096, ss.CHAIN_W, dfi.dtype)
+    pool1, n1, ovf, fq, fc, memo = ss.chain_scan(
+        dfi, jnp.asarray(qarr), jnp.asarray(rlens), GP, memo)
+    assert not bool(ovf)
+    a = pool0[pool0[:, 6] != 0]
+    b = np.asarray(pool1)[np.asarray(pool1)[:, 6] != 0]
+    assert len(a) == len(b) and np.array_equal(a, b)
+    # the duplicate + overlap reads must produce memo hits
+    assert int(fc) < int(fq)
+
+
+def test_chain_memo_cross_round_reuse(tiny_fm):
+    """One chain memo serves all three seeding rounds: stops are
+    lane-side (min_hits, greedy round-3 rule), so round 3's greedy
+    re-walk of the same content consumes round 1's chains.  Run the
+    full seeder with COMPSEED_FWD_MEMO=1: results must equal the
+    oracle and the r3 pass must add almost no fresh chain walks for
+    duplicate reads."""
+    import jax.numpy as jnp
+    from compseed_tpu.ops import seedscan as ss
+    from compseed_tpu.ops.device_index import to_device
+
+    dfi = to_device(tiny_fm)
+    queries = _fixture_queries(16)
+    R, L = 16, 128
+    qarr = np.full((R, L), 4, np.uint8)
+    rlens = np.zeros(R, np.int32)
+    for i, q in enumerate(queries):
+        qarr[i, :len(q)] = q
+        rlens[i] = len(q)
+    qd, rd = jnp.asarray(qarr), jnp.asarray(rlens)
+    GP = 48 * R
+    memo = ss.make_chain_memo(1 << 15, 8192, ss.CHAIN_W, dfi.dtype)
+    _, _, ovf1, fq1, fc1, memo = ss.chain_scan(dfi, qd, rd, GP, memo)
+    assert not bool(ovf1)
+    ents_after_r1 = int(memo["cur"])
+    # r3 greedy over the same reads, same memo
+    opt = MemOptions()
+    _, _, ovf3, fq3, fc3, memo = ss.chain_scan(
+        dfi, qd, rd, GP, memo, mode="r3",
+        min_len=opt.min_seed_len, max_intv=int(opt.max_mem_intv))
+    assert not bool(ovf3)
+    # round 3 walks content round 1 paid for: its fresh chain walks must
+    # stay below its consumed steps even on this low-redundancy fixture
+    # (on the 30x bench input the r1+r3 reuse reaches ~35%)
+    assert int(fc3) < int(fq3), (int(fc3), int(fq3))
+    assert int(memo["cur"]) > ents_after_r1  # r3 also contributes chains
+
+
+def test_chain_memo_full_seeder_differential(tiny_fm, monkeypatch):
+    """COMPSEED_FWD_MEMO=1 through the whole DeviceSeeder: matches must
+    equal the scalar oracle for every read (sorted, reordered-style
+    batch) and the stats counters must show reuse."""
+    monkeypatch.setenv("COMPSEED_FWD_MEMO", "1")
+    from compseed_tpu.pipeline.seeding import SeedingStats
+
+    opt = MemOptions()
+    queries = sorted(_fixture_queries(64), key=lambda q: q.tobytes())
+    sd = DeviceSeeder(opt, tiny_fm, dedup=True)
+    assert sd.fwd_memo
+    got = sd(tiny_fm, opt, queries)
+    assert not sd.last_overflow
+    for r, q in enumerate(queries):
+        want = seeding.collect_matches(tiny_fm, opt, q)
+        assert got[r][0] == want, f"read {r}"
+    st = SeedingStats()
+    sd.run_flat(queries, st)
+    assert st.bwt_calls < st.bwt_queries
+
+
+def test_chain_memo_lossy_caps_stay_exact(tiny_fm):
+    """Unlike every other cap, the chain memo degrades GRACEFULLY: a
+    full chain store stops inserting and hash-slot evictions only lose
+    reuse — results must stay exact with no overflow flag even at
+    absurdly small caps."""
+    import jax.numpy as jnp
+    from compseed_tpu.ops import seedscan as ss
+    from compseed_tpu.ops.device_index import to_device
+
+    dfi = to_device(tiny_fm)
+    queries = _fixture_queries(32)
+    R, L = 32, 128
+    qarr = np.full((R, L), 4, np.uint8)
+    rlens = np.zeros(R, np.int32)
+    for i, q in enumerate(queries):
+        qarr[i, :len(q)] = q
+        rlens[i] = len(q)
+    from tests.test_seeder2 import _pool_from_scan
+    GP = 48 * R
+    pool0 = _pool_from_scan(dfi, qarr, rlens, GP)
+    memo = ss.make_chain_memo(32, 16, ss.CHAIN_W, dfi.dtype)  # tiny
+    pool1, n1, ovf, fq, fc, memo = ss.chain_scan(
+        dfi, jnp.asarray(qarr), jnp.asarray(rlens), GP, memo)
+    assert not bool(ovf)
+    a = pool0[pool0[:, 6] != 0]
+    b = np.asarray(pool1)[np.asarray(pool1)[:, 6] != 0]
+    assert len(a) == len(b) and np.array_equal(a, b)
