@@ -134,6 +134,11 @@ class DeviceSeeder:
         # selects the staged engine for A/B.
         self.fwd_memo = \
             os.environ.get("COMPSEED_FWD_MEMO", "1") == "1"
+        # chain width: savings rise steeply as W shrinks (oracle sim on
+        # the bench input: 60%/45%/34%/31% at W=4/6/8/12) but rounds
+        # scale ~1/W; the right point is a TPU measurement (checkin
+        # script sweeps it)
+        self.chain_w = int(os.environ.get("COMPSEED_CHAIN_W", "8"))
         self.bwd_disabled = \
             os.environ.get("COMPSEED_BWD_DEDUP", "1") == "0"
         self._jits: dict = {}
@@ -191,12 +196,17 @@ class DeviceSeeder:
         # memo dict threads r1 -> r2 -> r3 so later rounds re-use the
         # chains round 1 walked (the bulk of the reference SST's hits).
         use_memo = self.fwd_memo
-        MEMO_M = 32 * R                       # chain-store rows
-        MEMO_H = 1 << (2 * MEMO_M - 1).bit_length()   # table slots
+        CW = self.chain_w
+        MEMO_M = (256 // CW) * R              # chain-store rows
+        # 4x oversized table: at the natural ~0.25 load a direct-mapped
+        # slot eviction costs ~4% of the savings (measured 34.6 -> 30.2
+        # at 2x); slots are 41 B vs 24*CW B chain rows, so headroom in
+        # the TABLE is the cheap half
+        MEMO_H = 1 << (4 * MEMO_M - 1).bit_length()   # table slots
 
         def fwd_scan(fm_, qa, rl, cap, stages_, memo, u_cap=None, **kw):
             if use_memo:
-                return ss.chain_scan(fm_, qa, rl, cap, memo,
+                return ss.chain_scan(fm_, qa, rl, cap, memo, W=CW,
                                      u_cap=u_cap, **kw)
             pool_, n_, ovf_, fq_, fc_ = ss.forward_scan_dedup(
                 fm_, qa, rl, cap, stages_, **kw)
@@ -204,8 +214,7 @@ class DeviceSeeder:
 
         def init_memo(dt_):
             if use_memo:
-                return ss.make_chain_memo(MEMO_H, MEMO_M, ss.CHAIN_W,
-                                          dt_)
+                return ss.make_chain_memo(MEMO_H, MEMO_M, CW, dt_)
             return jnp.zeros(0, jnp.int32)     # inert pytree placeholder
 
         @jax.jit

@@ -27,6 +27,15 @@ COMPSEED_R2_DEDUP=1 timeout 3600 \
 echo "== A/B: forward dedup off (isolate its cost/benefit) =="
 COMPSEED_FWD_DEDUP=0 timeout 3600 \
   python scripts/profile_seeding.py 2>&1 | tail -12
+echo "== A/B: chain width (savings vs round overhead) =="
+for CW in 4 6 8 12; do
+  echo "-- W=$CW"
+  COMPSEED_CHAIN_W=$CW timeout 3600 python scripts/profile_seeding.py \
+    2>&1 | grep -E "TOTAL|volumes"
+done
+echo "== A/B: staged forward dedup (old engine) =="
+COMPSEED_FWD_MEMO=0 timeout 3600 python scripts/profile_seeding.py \
+  2>&1 | tail -12
 echo "== chunk-size scaling (seeding-only reads/s) =="
 for C in 4096 16384 32768; do
   echo "-- chunk $C"
