@@ -36,52 +36,62 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-# packed scalar tail of blob_i: [mtotal, stotal, n_uniq] + 11 overflow
+# scalar head of the result: [mtotal, stotal, n_uniq] + 11 overflow
 # flags + [n_pool, n_u, fwd_queries, fwd_calls]
 N_SCAL = 18
 FWD_OVF_SLOTS = (2, 7, 10)       # oflags indices of the fwd-dedup flags
 BWD_OVF_SLOT = 3                 # backward (walk) dedup cap overflow
 
 
-def blob_sizes(R: int, MEMCAP: int, SEEDCAP: int,
-               packed: bool) -> tuple[int, int]:
-    """(len(blob_i), len(blob_d)) for one shard's j_pack output."""
-    if packed:
-        return SEEDCAP + 2 * R + N_SCAL, SEEDCAP
-    return 2 * SEEDCAP + 3 * R + N_SCAL, SEEDCAP
+def result_dims(R: int, packed: bool) -> tuple[int, int]:
+    """(len(head), seed-matrix rows) for one shard's j_pack output."""
+    return N_SCAL + 2 * R, 2 if packed else 4
 
 
-def unpack_blobs(blob_i: np.ndarray, blob_d: np.ndarray, R: int,
-                 MEMCAP: int, SEEDCAP: int, n_reads: int,
-                 packed: bool = True) -> dict:
-    """Decode one shard's packed (blob_i, blob_d) result pair (j_pack
+def seed_bucket(stotal: int, seedcap: int) -> int:
+    """Fetch width for the seed matrix: the D2H transfer ships only
+    ~stotal columns (rounded up in power-of-two steps so the slice
+    executables stay few) instead of the full static cap — on typical
+    input the seed buffers run ~35% full, so this alone cuts the
+    result transfer ~3x."""
+    return min(seedcap, _bucket(max(int(stotal), 1), 4096))
+
+
+def unpack_results(head: np.ndarray, seedpk: np.ndarray, R: int,
+                   n_reads: int, packed: bool = True) -> dict:
+    """Decode one shard's (head, seed-matrix) result pair (j_pack
     layout) into host-side flats + counters.  Shared by the single-chip
-    and sharded paths.  The match list never ships: chaining consumes
-    only the per-read repetitive-coverage length l_rep, reduced on
-    device (comp_seed.cpp:271-281)."""
-    off = 0
-    if packed:
-        qbln = blob_i[off:off + SEEDCAP]; off += SEEDCAP
-        qb_h = qbln & 0x3FF
-        ln_h = qbln >> 10
-        cntbad = blob_i[off:off + R]; off += R
-        seed_cnt_h = cntbad & 0xFFFFFF
-        bad_h = cntbad >> 24
-    else:
-        qb_h = blob_i[off:off + SEEDCAP]; off += SEEDCAP
-        ln_h = blob_i[off:off + SEEDCAP]; off += SEEDCAP
-        seed_cnt_h = blob_i[off:off + R]; off += R
-        bad_h = blob_i[off:off + R]; off += R
-    lrep_h = blob_i[off:off + R]; off += R
-    scal = blob_i[off:off + N_SCAL]
+    and sharded paths.  ``seedpk`` may be column-bucketed (seed_bucket).
+    The match list never ships: chaining consumes only the per-read
+    repetitive-coverage length l_rep, reduced on device
+    (comp_seed.cpp:271-281)."""
+    scal = head[:N_SCAL]
+    cntbad = head[N_SCAL:N_SCAL + R]
+    lrep_h = head[N_SCAL + R:N_SCAL + 2 * R]
+    seed_cnt_h = cntbad & 0xFFFFFF
+    bad_h = cntbad >> 24
     mtotal_h, stotal_h, n_uniq_h = int(scal[0]), int(scal[1]), int(scal[2])
     oflags = scal[3:14]  # r1 pool/walk/fwd/bwd; r2 x4; merge; seeds; r3
     npool_h, nu_h = int(scal[14]), int(scal[15])
     fq_h, fc_h = int(scal[16]), int(scal[17])
-    rbeg_h = blob_d[:SEEDCAP]
 
-    sflat = np.stack([rbeg_h[:stotal_h], qb_h[:stotal_h],
-                      ln_h[:stotal_h]], axis=1).astype(np.int64)
+    # stotal can exceed the shipped columns only on a cap overflow, in
+    # which case the whole chunk is recomputed anyway — clamp.
+    k = min(stotal_h, seedpk.shape[1])
+    w0 = seedpk[0, :k].astype(np.uint32).astype(np.uint64)
+    if packed:
+        w1 = seedpk[1, :k].astype(np.uint32)
+        rbeg = (w0 | ((w1 & np.uint32(0xFFF)).astype(np.uint64)
+                      << np.uint64(32))).astype(np.int64)
+        qb_h = ((w1 >> np.uint32(12)) & np.uint32(0x3FF)).astype(np.int64)
+        ln_h = (w1 >> np.uint32(22)).astype(np.int64)
+    else:
+        hi = seedpk[1, :k].astype(np.uint32).astype(np.uint64)
+        rbeg = (w0 | (hi << np.uint64(32))).astype(np.int64)
+        qb_h = seedpk[2, :k].astype(np.int64)
+        ln_h = seedpk[3, :k].astype(np.int64)
+
+    sflat = np.stack([rbeg, qb_h, ln_h], axis=1).astype(np.int64)
     soff = np.zeros(n_reads + 1, dtype=np.int64)
     np.cumsum(seed_cnt_h[:n_reads], out=soff[1:])
     return dict(lrep=lrep_h[:n_reads].astype(np.int64),
@@ -442,10 +452,14 @@ class DeviceSeeder:
         def j_pack(mok, mrid, ms, mbeg, mend, mtotal, rbeg, qb, ln,
                    stotal, n_uniq, seed_cnt, f1, f2, bad1, bad2, bad3,
                    f4, f5, f6, n_pool, n_u, fqc, fcc):
-            """Pack results into two blobs — every device->host transfer
-            over the tunnel pays a large flat cost, so ship exactly two
-            arrays (one i32, one index-dtype) with bit-packed columns:
-            (qb | len<<10) shares an int32 and the per-read seed count
+            """Pack results into a scalar+per-read head and a bit-packed
+            all-int32 seed matrix — every device->host transfer over the
+            tunnel pays a large flat cost, so the host fetches exactly
+            two arrays: the head (counters first, so stotal is known
+            before the second fetch), then only ``seed_bucket(stotal)``
+            columns of the seed matrix.  Packed columns: a seed is two
+            int32 words (rbeg lo32; rbeg hi12 | qb<<12 | len<<22 — 12 hi
+            bits cover 2*l_pac < 2^44), and the per-read seed count
             carries the fallback bit at bit 24.  The match list itself
             never ships: chaining only needs the per-read l_rep (union
             length of over-occurring match intervals,
@@ -491,17 +505,21 @@ class DeviceSeeder:
                 0)
             tgt = jnp.where(mok, mrid, R).astype(i32)
             lrep = jnp.zeros(R, i32).at[tgt].add(contrib, mode="drop")
-            if packed:
-                qbln = qb.astype(i32) | (ln.astype(i32) << 10)
-                cntbad = seed_cnt.astype(i32) | (bad << 24)
-                blob_i = jnp.concatenate([qbln, cntbad, lrep, scalars])
-                blob_d = rbeg
+            cntbad = seed_cnt.astype(i32) | (bad << 24)
+            head = jnp.concatenate([scalars, cntbad, lrep])
+            if np.dtype(dt).itemsize == 8:
+                lo = (rbeg & 0xFFFFFFFF).astype(i32)   # truncating
+                hi = (rbeg >> 32).astype(i32)
             else:
-                blob_i = jnp.concatenate([
-                    qb.astype(i32), ln.astype(i32),
-                    seed_cnt.astype(i32), bad, lrep, scalars])
-                blob_d = rbeg
-            return blob_i, blob_d
+                lo = rbeg.astype(i32)
+                hi = jnp.zeros_like(lo)
+            if packed:
+                w1 = hi | (qb.astype(i32) << 12) | (ln.astype(i32) << 22)
+                seedpk = jnp.stack([lo, w1])
+            else:
+                seedpk = jnp.stack([lo, hi, qb.astype(i32),
+                                    ln.astype(i32)])
+            return head, seedpk
 
         def whole(fm, qd, rd):
             """The full per-shard seeding program r1→pack as one traced
@@ -556,20 +574,24 @@ class DeviceSeeder:
         mok, mrid, mk, ml, ms, mbeg, mend, mtotal, movf = merged
         seeds = fns["seeds"](self.dfi, mok, mrid, mk, ms, mbeg, mend)
         rbeg, qb, ln, stotal, n_uniq, seed_cnt, sovf = seeds
-        blob_i, blob_d = fns["pack"](mok, mrid, ms, mbeg, mend, mtotal,
+        head_d, seed_d = fns["pack"](mok, mrid, ms, mbeg, mend, mtotal,
                                      rbeg, qb, ln, stotal, n_uniq,
                                      seed_cnt, ovf1, r2[7], bad1, r2[8],
                                      r3[7], movf, sovf, r3[8], n_pool,
                                      n_u, fqc + r2[9] + r3[9],
                                      fcc + r2[10] + r3[10])
 
-        # ---- one sync point: pull the two packed result blobs
-        blob_i, blob_d = jax.device_get((blob_i, blob_d))
-        self.prof["device_s"] = time.time() - t0
-
+        # ---- two fetches: the head (counters first) syncs, then only
+        # seed_bucket(stotal) columns of the seed matrix come over
         _, _, _, MEMCAP, SEEDCAP, _ = fns["sizes"]
-        res = unpack_blobs(blob_i, blob_d, R, MEMCAP, SEEDCAP, n_reads,
-                           packed=fns["packed"])
+        head = np.asarray(jax.device_get(head_d))
+        K = seed_bucket(head[1], SEEDCAP)
+        seedpk = np.asarray(jax.device_get(seed_d[:, :K]))
+        self.prof["device_s"] = time.time() - t0
+        self.prof["d2h_bytes"] = head.nbytes + seedpk.nbytes
+
+        res = unpack_results(head, seedpk, R, n_reads,
+                             packed=fns["packed"])
 
         if res["oflags"].any():
             # chunk-global cap overflow (pool/walk/tasks/merge/seeds):

@@ -31,7 +31,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from compseed_tpu.ops import bsw as bsw_mod
 from compseed_tpu.ops.bsw import BswRunner, _bucket, _pack_rows
 from compseed_tpu.ops.seeder2 import (DeviceSeeder, _round_up,
-                                      unpack_blobs)
+                                      result_dims, seed_bucket,
+                                      unpack_results)
 from compseed_tpu.parallel.mesh import make_mesh
 
 
@@ -83,15 +84,18 @@ class ShardedSeeder(DeviceSeeder):
         self.last_qd = qd
         self.last_L = L
         self.last_row_map = row_map
-        blob_i, blob_d = jax.device_get(step(self.dfi, qd, rd))
-        self.prof["device_s"] = time.time() - t0
-
+        head_all, seed_all = step(self.dfi, qd, rd)
         fns = self._jits[(R_shard, L)]
         _, _, _, MEMCAP, SEEDCAP, _ = fns["sizes"]
-        from compseed_tpu.ops.seeder2 import blob_sizes
-        BI, BD = blob_sizes(R_shard, MEMCAP, SEEDCAP, fns["packed"])
-        blob_i = blob_i.reshape(S, BI)
-        blob_d = blob_d.reshape(S, BD)
+        HL, ROWS = result_dims(R_shard, fns["packed"])
+        # fetch the stacked heads first; the per-shard stotal counters
+        # bound the seed-matrix columns the second fetch must ship
+        head = np.asarray(jax.device_get(head_all)).reshape(S, HL)
+        K = seed_bucket(int(head[:, 1].max(initial=0)), SEEDCAP)
+        seed_all = seed_all.reshape(S, ROWS, SEEDCAP)
+        seedpk = np.asarray(jax.device_get(seed_all[:, :, :K]))
+        self.prof["device_s"] = time.time() - t0
+        self.prof["d2h_bytes"] = head.nbytes + seedpk.nbytes
 
         self.last_overflow = False
         lsegs, ssegs = [], []      # one lrep/(sflat, soff) per shard
@@ -101,8 +105,8 @@ class ShardedSeeder(DeviceSeeder):
             n_local = hi - lo
             if n_local <= 0:
                 break
-            res = unpack_blobs(blob_i[s], blob_d[s], R_shard, MEMCAP,
-                               SEEDCAP, n_local, packed=fns["packed"])
+            res = unpack_results(head[s], seedpk[s], R_shard, n_local,
+                                 packed=fns["packed"])
             sub = queries[lo:hi]
             if res["oflags"].any():
                 # shard-level cap overflow: recompute just this shard's
