@@ -266,6 +266,22 @@ class BswRunner:
         self.mat_is_scmat = bool((m == pattern).all())
         self.use_pallas = use_pallas and self.mat_is_scmat
         self.interpret = False       # CPU differential tests set True
+        # int16 DP state (halved VMEM traffic / doubled VPU packing);
+        # applied per kernel class only when the score bounds prove no
+        # overflow — the 8/16-bit class-split analogue of
+        # mapping/bandedSWA.cpp:116.  Opt-in until TPU-lowering-verified.
+        import os
+        self.state16 = os.environ.get("COMPSEED_BSW_I16", "0") == "1"
+
+    def _use16(self, Q: int, h0max: int) -> bool:
+        """True when every int16 DP intermediate provably fits: H <=
+        h0 + Q*a, and the F prefix-scan adds col*e_ins on top."""
+        if not self.state16:
+            return False
+        opt = self.opt
+        e = max(opt.e_ins, opt.e_del, 1)
+        return ((Q - 1) * e < 16000 and
+                h0max + Q * self.max_sc + (Q - 1) * opt.e_ins < 32000)
 
     def run_flat(self, qbuf: np.ndarray, qoff: np.ndarray, rbuf: np.ndarray,
                  roff: np.ndarray, h0: np.ndarray, w: int, pen_clip: int):
@@ -358,7 +374,8 @@ class BswRunner:
                 Q=Q, T=T, L=L, l_pac=self.dfi.l_pac,
                 o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
                 e_ins=opt.e_ins, zdrop=opt.zdrop,
-                interpret=self.interpret))
+                interpret=self.interpret,
+                state16=self._use16(Q, int(h0[order].max(initial=0)))))
             res[order] = out[:m, :6].astype(np.int32)
         return tuple(res[:, j] for j in range(6))
 
@@ -398,7 +415,8 @@ class BswRunner:
                 jnp.asarray(targets), jnp.asarray(tlp), jnp.asarray(h0p),
                 jnp.asarray(ws), o_del=opt.o_del, e_del=opt.e_del,
                 o_ins=opt.o_ins, e_ins=opt.e_ins, zdrop=opt.zdrop,
-                interpret=self.interpret))
+                interpret=self.interpret,
+                state16=self._use16(Q, int(h0[order].max(initial=0)))))
             res[order] = out[:m, :6].astype(np.int32)
         return tuple(res[:, j] for j in range(6))
 

@@ -48,28 +48,37 @@ def _row_shift_right(x, fill):
     rolled = pltpu.roll(x, _c(1), 1)
     col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     if not hasattr(fill, "shape"):
-        fill = _c(fill)
+        fill = jnp.asarray(fill, x.dtype)
     return jnp.where(col == _c(0), fill, rolled)
 
 
-def _prefix_max(x):
+def _prefix_max(x, neg):
     """Inclusive prefix max along axis 1 (log-shift scan)."""
     n = x.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     s = 1
+    negc = jnp.asarray(neg, x.dtype)
     while s < n:
         shifted = pltpu.roll(x, _c(s), 1)
-        x = jnp.maximum(x, jnp.where(col >= _c(s), shifted, _c(NEG)))
+        x = jnp.maximum(x, jnp.where(col >= _c(s), shifted, negc))
         s <<= 1
     return x
 
 
-def _kernel(o_del, e_del, o_ins, e_ins, zdrop, Q, T,
+def _kernel(o_del, e_del, o_ins, e_ins, zdrop, Q, T, sdt,
             mat_ref, q_ref, qlen_ref, t_ref, tlen_ref, h0_ref, w_ref,
             out_ref, hb_ref, eb_ref, st_ref):
     i32 = jnp.int32
     oe_del = o_del + e_del
     oe_ins = o_ins + e_ins
+    # DP-state dtype: int16 halves VMEM traffic and doubles VPU packing
+    # when the runner has proven no value can leave [-2^15, 2^15) — the
+    # TPU analogue of the reference's 8-bit/16-bit kernel class split
+    # (mapping/bandedSWA.cpp:116 smithWaterman256_8 vs _16)
+    neg_s = -(1 << 14) if sdt == jnp.int16 else NEG
+
+    def _s(v):
+        return jnp.asarray(v, sdt)
 
     qlens = qlen_ref[:].astype(i32)        # (LT, 1)
     tlens = tlen_ref[:].astype(i32)
@@ -77,22 +86,23 @@ def _kernel(o_del, e_del, o_ins, e_ins, zdrop, Q, T,
     w = w_ref[:].astype(i32)               # per-pair clamped band width
 
     col = jax.lax.broadcasted_iota(i32, (LT, Q), 1)
+    col_s = col.astype(sdt)
 
     # scoring follows the bwa_fill_scmat pattern (match a, mismatch -b,
     # ambiguous -1; bwa.c:135-144) — checked host-side by the runner
     qt = q_ref[:].astype(i32)              # (LT, Q)
     q_amb = qt > _c(3)
-    sc_a = mat_ref[0, 0]
-    sc_b = mat_ref[0, 1]
-    sc_n = mat_ref[0, 4]
+    sc_a = mat_ref[0, 0].astype(sdt)
+    sc_b = mat_ref[0, 1].astype(sdt)
+    sc_n = mat_ref[0, 4].astype(sdt)
 
     # first-row state (ksw.c:395-397).  All loop state lives in VMEM
     # scratch refs; the while loop carries only the scalar row index
     # (Mosaic cannot legalize vector-valued while carries).
     v = h0s - _c(oe_ins) - (col - _c(1)) * _c(e_ins)
     h = jnp.where(col == _c(0), h0s, jnp.maximum(v, _c(0)))
-    hb_ref[:] = jnp.where(col <= qlens, h, _c(0)).astype(i32)
-    eb_ref[:] = jnp.zeros((LT, Q), i32)
+    hb_ref[:] = jnp.where(col <= qlens, h, _c(0)).astype(sdt)
+    eb_ref[:] = jnp.zeros((LT, Q), sdt)
     st_ref[:, 0:1] = jnp.zeros((LT, 1), i32)           # beg
     st_ref[:, 1:2] = qlens                             # end
     st_ref[:, 2:3] = h0s                               # best
@@ -136,40 +146,41 @@ def _kernel(o_del, e_del, o_ins, e_ins, zdrop, Q, T,
                           jnp.where(qt == tchar, sc_a, sc_b))
 
         inb = (col >= beg_i) & (col < end_i)
-        M = jnp.where(h != _c(0), h + score, _c(0))
-        e_new = jnp.maximum(e - _c(e_del), jnp.maximum(M - _c(oe_del), _c(0)))
-        t_ins = jnp.maximum(M - _c(oe_ins), _c(0))
+        M = jnp.where(h != _s(0), h + score, _s(0))
+        e_new = jnp.maximum(e - _s(e_del), jnp.maximum(M - _s(oe_del), _s(0)))
+        t_ins = jnp.maximum(M - _s(oe_ins), _s(0))
 
         # F entering column j: prefix max over the shifted t_ins with a
         # zero source at column beg (ksw's sequential F recurrence)
-        t_shift = _row_shift_right(jnp.where(inb, t_ins, _c(NEG)), NEG)
-        t_src = jnp.where(col == beg_i, _c(0), t_shift)
-        run = _prefix_max(t_src + col * _c(e_ins))
-        f = run - col * _c(e_ins)
+        t_shift = _row_shift_right(jnp.where(inb, t_ins, _s(neg_s)), neg_s)
+        t_src = jnp.where(col == beg_i, _s(0), t_shift)
+        run = _prefix_max(t_src + col_s * _s(e_ins), neg_s)
+        f = run - col_s * _s(e_ins)
 
         h_new = jnp.maximum(jnp.maximum(M, e), f)
 
         # row max and its LAST attaining column (ksw.c:437-438)
-        h_band = jnp.where(inb, h_new, _c(0))
+        h_band = jnp.where(inb, h_new, _s(0))
         m = jnp.max(h_band, axis=1, keepdims=True)
         mj = jnp.max(jnp.where((h_band == m) & inb, col, _c(-1)), axis=1,
                      keepdims=True)
+        m = m.astype(i32)
         mj = jnp.where(m == _c(0), _c(-1), mj)
 
         # state update (width Q; entry `end` of the eh layout is virtual)
         h_sh = _row_shift_right(h_new, 0)
-        h_out = jnp.where(col == beg_i, h_first,
+        h_out = jnp.where(col == beg_i, h_first.astype(sdt),
                           jnp.where((col > beg_i) & (col <= end_i), h_sh, h))
         e_out = jnp.where(inb, e_new,
-                          jnp.where(col == end_i, _c(0), e))
+                          jnp.where(col == end_i, _s(0), e))
         h_out = jnp.where(active, h_out, h)
         e_out = jnp.where(active, e_out, e)
 
         # to-query-end score (ksw.c:450-453)
         h1_last = jnp.where(
             empty, h_first,
-            jnp.max(jnp.where(col == end_i - _c(1), h_new, _c(NEG)), axis=1,
-                    keepdims=True))
+            jnp.max(jnp.where(col == end_i - _c(1), h_new, _s(neg_s)),
+                    axis=1, keepdims=True).astype(i32))
         at_qend = active & (end_i == qlens)
         upd_g = at_qend & (gscore <= h1_last)
         max_ie = jnp.where(upd_g, i, max_ie)
@@ -194,7 +205,7 @@ def _kernel(o_del, e_del, o_ins, e_ins, zdrop, Q, T,
 
         # band shrink to the non-zero span (ksw.c:465-469); the virtual
         # entry at column end_i has h = h1_last, e = 0
-        nz = (h_out != _c(0)) | (e_out != _c(0))
+        nz = (h_out != _s(0)) | (e_out != _s(0))
         c1 = nz & (col >= beg_i) & (col < end_i)
         beg_new = jnp.min(jnp.where(c1, col, end_i), axis=1, keepdims=True)
         c2 = nz & (col >= beg_new) & (col <= end_i)
@@ -230,12 +241,14 @@ def _kernel(o_del, e_del, o_ins, e_ins, zdrop, Q, T,
 
 
 def _call_kernel(mat25, queries, qlens, targets, tlens, h0s, ws,
-                 o_del, e_del, o_ins, e_ins, zdrop, interpret=False):
+                 o_del, e_del, o_ins, e_ins, zdrop, interpret=False,
+                 state16=False):
     P, Q = queries.shape
     T = targets.shape[1]
     grid = P // LT
+    sdt = jnp.int16 if state16 else jnp.int32
     kern = functools.partial(_kernel, o_del, e_del, o_ins, e_ins, zdrop,
-                             Q, T)
+                             Q, T, sdt)
     # index maps must return int32 — with x64 on, a bare python 0 traces
     # as int64, which Mosaic cannot legalize in the index function
     z32 = np.int32(0)
@@ -256,8 +269,8 @@ def _call_kernel(mat25, queries, qlens, targets, tlens, h0s, ws,
         ],
         out_specs=lane_spec(8, pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((P, 8), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((LT, Q), jnp.int32),
-                        pltpu.VMEM((LT, Q), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((LT, Q), sdt),
+                        pltpu.VMEM((LT, Q), sdt),
                         pltpu.VMEM((LT, 16), jnp.int32)],
         interpret=interpret,
     )(mat25, queries, qlens, targets, tlens, h0s, ws)
@@ -265,7 +278,7 @@ def _call_kernel(mat25, queries, qlens, targets, tlens, h0s, ws,
 
 @functools.partial(jax.jit,
                    static_argnames=("o_del", "e_del", "o_ins", "e_ins",
-                                    "zdrop", "interpret"))
+                                    "zdrop", "interpret", "state16"))
 def bsw_extend_tiles(mat25: jax.Array,     # (1, 25) int32
                      queries: jax.Array,   # (P, Q) int8
                      qlens: jax.Array,     # (P, 1) int32
@@ -274,15 +287,17 @@ def bsw_extend_tiles(mat25: jax.Array,     # (1, 25) int32
                      h0s: jax.Array,       # (P, 1) int32
                      ws: jax.Array,        # (P, 1) int32 clamped band
                      *, o_del: int, e_del: int, o_ins: int, e_ins: int,
-                     zdrop: int, interpret: bool = False) -> jax.Array:
+                     zdrop: int, interpret: bool = False,
+                     state16: bool = False) -> jax.Array:
     return _call_kernel(mat25, queries, qlens, targets, tlens, h0s, ws,
-                        o_del, e_del, o_ins, e_ins, zdrop, interpret)
+                        o_del, e_del, o_ins, e_ins, zdrop, interpret,
+                        state16)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("Q", "T", "L", "l_pac", "o_del",
                                     "e_del", "o_ins", "e_ins", "zdrop",
-                                    "interpret"))
+                                    "interpret", "state16"))
 def bsw_meta_tiles(mat25, qflat, pac,      # device read matrix + reference
                    qmeta,                  # (P, 4) i32: rid, q0, qlen, rev
                    r0,                     # (P,) index dtype
@@ -290,7 +305,8 @@ def bsw_meta_tiles(mat25, qflat, pac,      # device read matrix + reference
                    h0s, ws,                # (P, 1) i32
                    *, Q: int, T: int, L: int, l_pac: int,
                    o_del: int, e_del: int, o_ins: int, e_ins: int,
-                   zdrop: int, interpret: bool = False) -> jax.Array:
+                   zdrop: int, interpret: bool = False,
+                   state16: bool = False) -> jax.Array:
     """Build the DP tiles ON DEVICE from pair metadata and run the
     kernel: sequences are sliced out of the chunk's read matrix and the
     packed reference (rev pairs consume positions downward, which is the
@@ -320,7 +336,8 @@ def bsw_meta_tiles(mat25, qflat, pac,      # device read matrix + reference
     return _call_kernel(
         mat25, qt.astype(jnp.int8), ql[:, None].astype(i32),
         tt.astype(jnp.int8), rlen[:, None].astype(i32), h0s, ws,
-        o_del, e_del, o_ins, e_ins, zdrop, interpret=interpret)
+        o_del, e_del, o_ins, e_ins, zdrop, interpret=interpret,
+        state16=state16)
 
 
 def clamp_band(qlens: np.ndarray, w: int, max_sc: int, end_bonus: int,

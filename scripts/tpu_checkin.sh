@@ -36,6 +36,29 @@ done
 echo "== A/B: staged forward dedup (old engine) =="
 COMPSEED_FWD_MEMO=0 timeout 3600 python scripts/profile_seeding.py \
   2>&1 | tail -12
+echo "== A/B: BSW int16 DP state (Mosaic lowering smoke + bench) =="
+timeout 900 python - <<'EOF'
+import numpy as np, jax.numpy as jnp
+from compseed_tpu.options import MemOptions, fill_scmat
+from compseed_tpu.ops.bsw_pallas import LT, bsw_extend_tiles, clamp_band
+opt = MemOptions(); mat = np.array(fill_scmat(1, 4), np.int32)
+rng = np.random.default_rng(0)
+q = rng.integers(0, 4, (LT, 128)).astype(np.int8)
+t = rng.integers(0, 4, (LT, 256)).astype(np.int8)
+ql = np.full((LT,1), 101, np.int32); tl = np.full((LT,1), 200, np.int32)
+h0 = np.full((LT,1), 30, np.int32)
+ws = clamp_band(ql[:,0], opt.w, 1, opt.pen_clip5, opt.o_del, opt.e_del,
+                opt.o_ins, opt.e_ins)[:, None]
+a = {}
+for s16 in (False, True):
+    a[s16] = np.asarray(bsw_extend_tiles(
+        jnp.asarray(mat.reshape(1,25)), jnp.asarray(q), jnp.asarray(ql),
+        jnp.asarray(t), jnp.asarray(tl), jnp.asarray(h0), jnp.asarray(ws),
+        o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
+        e_ins=opt.e_ins, zdrop=opt.zdrop, state16=s16))
+print("int16 lowering OK; outputs equal:", np.array_equal(a[False], a[True]))
+EOF
+COMPSEED_BSW_I16=1 timeout 5400 python bench.py
 echo "== chunk-size scaling (seeding-only reads/s) =="
 for C in 4096 16384 32768; do
   echo "-- chunk $C"

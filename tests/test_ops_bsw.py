@@ -93,9 +93,11 @@ def test_pipeline_parity_device_engine(tiny_fm):
         assert m == g, f"record {i}:\n{m}\n{g}"
 
 
-def test_bsw_pallas_kernel_vs_xla():
+@pytest.mark.parametrize("state16", [False, True])
+def test_bsw_pallas_kernel_vs_xla(state16):
     """The Pallas TPU kernel (interpret mode on CPU) must be bit-identical
-    to the verified XLA program across random extension workloads."""
+    to the verified XLA program across random extension workloads — in
+    both the int32 and the overflow-gated int16 DP-state variants."""
     import jax.numpy as jnp
     from compseed_tpu.ops.bsw import bsw_extend
     from compseed_tpu.ops.bsw_pallas import LT, bsw_extend_tiles, clamp_band
@@ -132,7 +134,7 @@ def test_bsw_pallas_kernel_vs_xla():
         jnp.asarray(targets.astype(np.int8)), jnp.asarray(tlens[:, None]),
         jnp.asarray(h0[:, None]), jnp.asarray(ws[:, None]),
         o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins, e_ins=opt.e_ins,
-        zdrop=opt.zdrop, interpret=True))
+        zdrop=opt.zdrop, interpret=True, state16=state16))
     for j in range(6):
         assert np.array_equal(ref[j], out[:, j]), j
 
