@@ -201,6 +201,7 @@ def main() -> None:
         "runs": [round(r, 1) for r in rates],
         "bwt_hit_pct": round(bwt_hit, 2),
         "sal_merged_pct": round(sal_merged, 2),
+        "seed_d2h_bytes_per_chunk": int(seeder.prof.get("d2h_bytes", 0)),
     }))
 
 
