@@ -222,7 +222,13 @@ def run_trial(seed: int, workdir: str, keep: bool = False,
     if ref.returncode != 0:
         return [f"bwamem failed rc={ref.returncode}: {ref.stderr[-300:]}"]
     out_my = os.path.join(workdir, "my.sam")
-    cs_cli.main(["mem"] + opts + ["--engine", "device", "-o", out_my,
+    # our-side-only flags: occasionally run the sharded (mesh) pipeline —
+    # the SAM contract is byte-identity across mesh shapes
+    my_opts = list(opts)
+    import jax
+    if len(jax.devices()) >= 2 and rng.random() < 0.25:
+        my_opts += ["--mesh", "2"]
+    cs_cli.main(["mem"] + my_opts + ["--engine", "device", "-o", out_my,
                 pref_ref] + inputs)
     mine = sam_lines(open(out_my).read())
     gold = sam_lines(ref.stdout.decode())
