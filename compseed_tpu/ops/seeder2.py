@@ -50,11 +50,12 @@ def result_dims(R: int, packed: bool) -> tuple[int, int]:
 
 def seed_bucket(stotal: int, seedcap: int) -> int:
     """Fetch width for the seed matrix: the D2H transfer ships only
-    ~stotal columns (rounded up in power-of-two steps so the slice
-    executables stay few) instead of the full static cap — on typical
-    input the seed buffers run ~35% full, so this alone cuts the
-    result transfer ~3x."""
-    return min(seedcap, _bucket(max(int(stotal), 1), 4096))
+    ~stotal columns instead of the full static cap — on typical input
+    the seed buffers run ~35% full.  Quantized to <=32 widths per cap
+    so the (trivial) device slice executables stay few."""
+    g = max(4096, seedcap // 32)
+    k = -(-max(int(stotal), 1) // g) * g
+    return min(seedcap, k)
 
 
 def unpack_results(head: np.ndarray, seedpk: np.ndarray, R: int,
