@@ -155,17 +155,108 @@ class ShardedBswRunner(BswRunner):
     shard_map'd DP program per (P, Q, T) bucket, each device scanning its
     own pairs with its own early-exit trip count (the per-lane-class
     batching of mem_chain2aln_across_reads_V2, comp_seed.cpp:1692-2126,
-    spread over chips instead of SIMD lanes)."""
+    spread over chips instead of SIMD lanes).
+
+    Two pair interfaces, like the single-chip runner:
+      * ``run_meta`` (preferred, pod config): 28 B of metadata per pair;
+        each pair is routed to the shard OWNING its read (rows are
+        shard-major), where the Pallas kernel slices the DP tiles from
+        the shard-local read matrix + the replicated packed reference.
+      * ``run_flat`` fallback: host-packed tiles through the XLA twin.
+    """
 
     def __init__(self, opt, mat: np.ndarray, mesh: Mesh | None = None,
                  dfi=None):
-        # the XLA twin runs under shard_map on any backend; Pallas stays
-        # for the single-chip path (bsw_pallas kernels are per-device —
-        # composing them under shard_map is the real-pod config)
+        # the XLA twin backs run_flat on any backend; run_meta composes
+        # the Pallas kernel under shard_map (interpret mode on CPU)
         super().__init__(opt, mat, use_pallas=False, dfi=dfi)
         self.mesh = mesh if mesh is not None else make_mesh()
         self.S = int(self.mesh.devices.size)
         self._steps: dict = {}
+        self._meta_steps: dict = {}
+        self._R_rows = 0              # rows per shard in the read matrix
+
+    # ---- metadata pair interface -------------------------------------
+    def set_query_context(self, qd, L: int = 0, row_map=None) -> None:
+        if qd is not None:
+            self._R_rows = int(qd.shape[0]) // self.S
+        super().set_query_context(qd, L, row_map)
+
+    @property
+    def supports_meta(self) -> bool:
+        backend_ok = self.interpret or jax.default_backend() != "cpu"
+        return (backend_ok and self.mat_is_scmat and
+                self.dfi is not None and self._qctx is not None and
+                self._R_rows > 0)
+
+    def _meta_step(self, P_shard: int, Q: int, T: int, L: int):
+        from compseed_tpu.ops.bsw_pallas import bsw_meta_tiles
+        key = (P_shard, Q, T, L)
+        if key in self._meta_steps:
+            return self._meta_steps[key]
+        opt = self.opt
+        l_pac = self.dfi.l_pac
+        interp = self.interpret
+
+        def run(mat25, qflat, pac, qm, r0, rl, h0, ws):
+            return bsw_meta_tiles(
+                mat25, qflat, pac, qm, r0, rl, h0, ws,
+                Q=Q, T=T, L=L, l_pac=l_pac,
+                o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
+                e_ins=opt.e_ins, zdrop=opt.zdrop, interpret=interp)
+
+        step = jax.jit(jax.shard_map(
+            run, mesh=self.mesh,
+            in_specs=(P(), P("data"), P(), P("data", None), P("data"),
+                      P("data"), P("data", None), P("data", None)),
+            out_specs=P("data", None),
+            check_vma=False))
+        self._meta_steps[key] = step
+        return step
+
+    def run_meta(self, qmeta: np.ndarray, rmeta: np.ndarray,
+                 h0: np.ndarray, w: int, pen_clip: int):
+        from compseed_tpu.ops.bsw_pallas import LT, clamp_band
+        opt = self.opt
+        n = len(h0)
+        if n == 0:
+            z = np.zeros(0, np.int32)
+            return (z,) * 6
+        qflat, L = self._qctx
+        S, R_rows = self.S, self._R_rows
+        rows = qmeta[:, 0] if self._row_map is None else \
+            np.asarray(self._row_map)[qmeta[:, 0]]
+        shard = rows // R_rows
+        qlens = qmeta[:, 2].astype(np.int32)
+        tlens = rmeta[:, 1].astype(np.int32)
+        Q = _bucket(int(qlens.max(initial=1)), 128)
+        T = _bucket(int(tlens.max(initial=1)), 128)
+        per = np.bincount(shard, minlength=S)
+        P_shard = _bucket(int(per.max(initial=1)), LT)
+        # slot: pair i -> (shard, position within shard)
+        order = np.argsort(shard, kind="stable")
+        within = np.arange(n) - np.repeat(np.cumsum(per) - per, per)
+        slot = shard * P_shard + within[np.argsort(order, kind="stable")]
+        qm = np.zeros((S * P_shard, 4), np.int32)
+        r0 = np.zeros(S * P_shard, rmeta.dtype)
+        rl = np.zeros(S * P_shard, np.int32)
+        h0p = np.ones((S * P_shard, 1), np.int32)
+        ws = np.full((S * P_shard, 1), w, np.int32)
+        qm[slot] = qmeta
+        qm[slot, 0] = (rows % R_rows).astype(np.int32)   # shard-local row
+        r0[slot] = rmeta[:, 0]
+        rl[slot] = tlens
+        h0p[slot, 0] = h0
+        ws[slot, 0] = clamp_band(qlens, w, self.max_sc, pen_clip,
+                                 opt.o_del, opt.e_del, opt.o_ins,
+                                 opt.e_ins)
+        step = self._meta_step(P_shard, Q, T, L)
+        dt = self.dfi.dtype
+        out = np.asarray(step(
+            self.mat25, qflat, self.dfi.pac_bases, jnp.asarray(qm),
+            jnp.asarray(r0).astype(dt), jnp.asarray(rl),
+            jnp.asarray(h0p), jnp.asarray(ws)))
+        return tuple(out[slot, j].astype(np.int32) for j in range(6))
 
     def _step(self, Pb: int, Q: int, T: int, bonus: int):
         key = (Pb, Q, T, bonus)

@@ -88,3 +88,44 @@ def test_production_sam_identical_across_mesh_shapes(tiny_fm):
     align_chunk(opt, tiny_fm, rs, 0, engine=engine, seeder=seeder,
                 tail=tail)
     assert sams[8] == "".join(r.sam for r in rs)
+
+
+@pytest.mark.slow
+def test_sharded_meta_path_sam_identical(tiny_fm):
+    """The pod pair interface: ShardedBswRunner.run_meta routes each
+    pair to the shard owning its read and slices DP tiles from the
+    shard-local read matrix (Pallas kernel under shard_map, interpret
+    mode on CPU).  SAM must be byte-identical to the run_flat path."""
+    import jax
+    from compseed_tpu.io.fastq import read_fastq_chunks
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    reads = []
+    for chunk in read_fastq_chunks(
+            os.path.join(FIXTURES, "reads.fq"), 10**9):
+        reads.extend(chunk)
+    reads = reads[:160]
+    from compseed_tpu.native import NativeTail
+    from compseed_tpu.options import MemOptions
+    from compseed_tpu.parallel.mesh import make_mesh
+    from compseed_tpu.parallel.sharded import (ShardedBswRunner,
+                                               ShardedSeeder)
+    from compseed_tpu.pipeline.align import align_chunk
+
+    mesh = make_mesh(jax.devices()[:4])
+    sams = {}
+    for meta in (False, True):
+        opt = MemOptions()
+        seeder = ShardedSeeder(opt, tiny_fm, mesh=mesh)
+        engine = ShardedBswRunner(opt, np.array(opt.mat), mesh=mesh,
+                                  dfi=seeder.dfi)
+        engine.interpret = meta      # enables supports_meta on CPU
+        tail = NativeTail(opt, tiny_fm)
+        rs = [r.__class__(**r.__dict__) for r in reads]
+        align_chunk(opt, tiny_fm, rs, 0, engine=engine, seeder=seeder,
+                    tail=tail)
+        if meta:
+            assert engine._meta_steps, "meta path was not exercised"
+        sams[meta] = "".join(r.sam for r in rs)
+    assert sams[True] == sams[False]
