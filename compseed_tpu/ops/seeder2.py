@@ -583,11 +583,16 @@ class DeviceSeeder:
                                      fcc + r2[10] + r3[10])
 
         # ---- two fetches: the head (counters first) syncs, then only
-        # seed_bucket(stotal) columns of the seed matrix come over
+        # seed_bucket(stotal) columns of the seed matrix come over —
+        # and none at all when the head already shows a cap overflow
+        # (the whole chunk reruns on the legacy path in that case)
         _, _, _, MEMCAP, SEEDCAP, _ = fns["sizes"]
         head = np.asarray(jax.device_get(head_d))
-        K = seed_bucket(head[1], SEEDCAP)
-        seedpk = np.asarray(jax.device_get(seed_d[:, :K]))
+        if head[3:14].any():
+            seedpk = np.zeros((2 if fns["packed"] else 4, 0), np.int32)
+        else:
+            K = seed_bucket(head[1], SEEDCAP)
+            seedpk = np.asarray(jax.device_get(seed_d[:, :K]))
         self.prof["device_s"] = time.time() - t0
         self.prof["d2h_bytes"] = head.nbytes + seedpk.nbytes
 
