@@ -140,6 +140,19 @@ def _setup():
 
 
 def main() -> None:
+    # fail fast with a parseable record if the accelerator is down
+    # (the axon tunnel init blocks ~4 min before erroring) — a CPU
+    # fallback number would be misleading vs the baseline, so error out
+    try:
+        import jax
+        jax.numpy.zeros(8).block_until_ready()
+    except Exception as e:   # noqa: BLE001 — init failure modes vary
+        print(json.dumps({
+            "metric": "reads_per_s_per_chip_e2e", "value": 0,
+            "unit": "reads/s", "vs_baseline": 0.0,
+            "error": f"accelerator backend unavailable: {e}"[:300]}))
+        sys.exit(1)
+
     from compseed_tpu.io.fastq import Read
     from compseed_tpu.options import MemOptions
     from compseed_tpu.ops.engine import device_engine, device_seeder

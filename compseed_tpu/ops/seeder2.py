@@ -41,6 +41,7 @@ def _round_up(x: int, m: int) -> int:
 N_SCAL = 18
 FWD_OVF_SLOTS = (2, 7, 10)       # oflags indices of the fwd-dedup flags
 BWD_OVF_SLOT = 3                 # backward (walk) dedup cap overflow
+R2_OVF_SLOT = 5                  # round-2 walk dedup cap overflow
 
 
 def result_dims(R: int, packed: bool) -> tuple[int, int]:
@@ -319,11 +320,12 @@ class DeviceSeeder:
             pool2 = jnp.concatenate([pool2, tix[:, None].astype(dt)],
                                     axis=1)
             povf2 = jnp.asarray(False)
-            # Round-2 walk dedup is gated by COMPSEED_R2_DEDUP=1: a first
-            # attempt showed pathological j_round2 compile time, but that
-            # measurement coincided with the TPU tunnel degrading, so the
-            # path is kept for a clean A/B (min_hits joins the group key;
-            # representatives carry their own thresholds via rep_take).
+            # Round-2 walk dedup is gated by COMPSEED_R2_DEDUP=1 (the
+            # round-1 "pathological compile" was the dying tunnel — CPU
+            # A/B 2026-08-17: +12 s compile).  Its CAP_U2 rep caps
+            # overflow on 30x layout-ordered input, so it self-disables
+            # adaptively (R2_OVF_SLOT); in memo mode round 2 already
+            # re-uses round-1 chains, which supersedes this path.
             mh_rows = t_mh[tix].astype(i32)
             if r2_dedup:
                 ph2 = ss.prefix_hashes(qarr)
@@ -641,6 +643,12 @@ class DeviceSeeder:
                   "disabling the backward dedup for subsequent chunks",
                   file=sys.stderr)
             self.bwd_disabled = True
+            changed = True
+        if self.r2_dedup and oflags[R2_OVF_SLOT]:
+            print("[M::seeder2] round-2 walk dedup caps overflowed; "
+                  "disabling the round-2 dedup for subsequent chunks",
+                  file=sys.stderr)
+            self.r2_dedup = False
             changed = True
         if changed:
             self._jits.clear()
