@@ -91,9 +91,13 @@ class ShardedSeeder(DeviceSeeder):
         # fetch the stacked heads first; the per-shard stotal counters
         # bound the seed-matrix columns the second fetch must ship
         head = np.asarray(jax.device_get(head_all)).reshape(S, HL)
-        K = seed_bucket(int(head[:, 1].max(initial=0)), SEEDCAP)
-        seed_all = seed_all.reshape(S, ROWS, SEEDCAP)
-        seedpk = np.asarray(jax.device_get(seed_all[:, :, :K]))
+        clean = ~head[:, 3:14].any(axis=1)
+        if clean.any():
+            K = seed_bucket(int(head[clean, 1].max(initial=0)), SEEDCAP)
+            seed_all = seed_all.reshape(S, ROWS, SEEDCAP)
+            seedpk = np.asarray(jax.device_get(seed_all[:, :, :K]))
+        else:   # every shard overflowed: all reads rerun on the
+            seedpk = np.zeros((S, ROWS, 0), np.int32)  # legacy path
         self.prof["device_s"] = time.time() - t0
         self.prof["d2h_bytes"] = head.nbytes + seedpk.nbytes
 

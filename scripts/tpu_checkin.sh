@@ -13,10 +13,12 @@ cd "$(dirname "$0")/.."
 echo "== devices =="
 timeout 300 python -c "import jax; print(jax.devices())" || {
   echo "TPU still unavailable"; exit 1; }
+# bench FIRST — it is the judged number; if the tunnel dies again we
+# want it captured before the (hours of) A/B sweeps below
+echo "== bench (default config) =="
+timeout 5400 python bench.py | tee /tmp/bench_checkin.json
 echo "== seeding profile (default config) =="
 timeout 3600 python scripts/profile_seeding.py 2>&1 | tail -40
-echo "== bench (default config) =="
-timeout 5400 python bench.py
 
 echo "== A/B: Pallas DMA occ gather =="
 COMPSEED_PALLAS_GATHER=1 timeout 3600 \
