@@ -286,11 +286,13 @@ class NativeTail:
                                 com_buf, coff_p,
                                 rg_id.encode() if rg_id else None)
             out = []
+            # latin-1 round-trips any byte: a corrupt record must surface
+            # as a diagnosable SAM line, not a UnicodeDecodeError here
             for r in range(R):
                 ln = lib.cs_sam_len(h, r)
                 buf = ct.create_string_buffer(int(ln))
                 lib.cs_sam_copy(h, r, buf)
-                out.append(buf.raw.decode())
+                out.append(buf.raw.decode("latin-1"))
             return out
         finally:
             lib.cs_batch_destroy(h)
