@@ -135,6 +135,12 @@ def set_threads(n: int) -> None:
 
 
 def _ptr(a: np.ndarray, typ):
+    # the native side indexes these densely; a strided view (e.g. a
+    # column of a 2-D result) would be read as scrambled memory — the
+    # exact bug behind the round-2 TPU SAM corruption, where the Pallas
+    # engine returned res[:, j] views while the XLA path returned copies
+    if not a.flags.c_contiguous:
+        raise ValueError("non-contiguous array passed to native code")
     return a.ctypes.data_as(ct.POINTER(typ))
 
 

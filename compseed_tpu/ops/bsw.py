@@ -377,7 +377,9 @@ class BswRunner:
                 interpret=self.interpret,
                 state16=self._use16(Q, int(h0[order].max(initial=0)))))
             res[order] = out[:m, :6].astype(np.int32)
-        return tuple(res[:, j] for j in range(6))
+        # each result must be C-contiguous: these cross a raw ctypes
+        # pointer into the native tail, which indexes them densely
+        return tuple(np.ascontiguousarray(res[:, j]) for j in range(6))
 
     def _run_pallas(self, qbuf, qoff, rbuf, roff, h0, w: int, pen_clip: int):
         from compseed_tpu.ops.bsw_pallas import (LT, bsw_extend_tiles,
@@ -418,7 +420,8 @@ class BswRunner:
                 interpret=self.interpret,
                 state16=self._use16(Q, int(h0[order].max(initial=0)))))
             res[order] = out[:m, :6].astype(np.int32)
-        return tuple(res[:, j] for j in range(6))
+        # C-contiguous per result — consumed through a raw ctypes pointer
+        return tuple(np.ascontiguousarray(res[:, j]) for j in range(6))
 
     def __call__(self, pairs, w: int, pen_clip: int):
         if not pairs:
