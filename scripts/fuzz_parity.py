@@ -34,7 +34,44 @@ REF_BUILD = os.path.join(ROOT, ".ref_build")
 BWAIDX = os.path.join(REF_BUILD, "bwaidx")
 BWAMEM = os.path.join(REF_BUILD, "bwamem")
 COMPSEED = os.path.join(REF_BUILD, "CompSeed")
+REF_SRC = "/root/reference"
 COMP = str.maketrans("ACGTN", "TGCAN")
+
+
+def ensure_ref_binaries() -> None:
+    """Build the reference oracle binaries on demand (cached).
+
+    The differential-fuzz tier is the strongest correctness evidence in
+    the suite; it must never silently skip on a fresh checkout.  This
+    configures + builds /root/reference into .ref_build the first time
+    it is needed (~1 min), and raises loudly if the toolchain or the
+    reference tree is unavailable.
+    """
+    import subprocess
+    if all(os.path.exists(p) for p in (BWAIDX, BWAMEM, COMPSEED)):
+        return
+    if not os.path.isdir(REF_SRC):
+        raise RuntimeError(
+            f"reference sources not found at {REF_SRC}; cannot build the "
+            "differential oracles (bwaidx/bwamem/CompSeed)")
+    os.makedirs(REF_BUILD, exist_ok=True)
+    cfg = subprocess.run(
+        ["cmake", "-DCMAKE_C_FLAGS=-fcommon", "-DCMAKE_CXX_FLAGS=-fcommon",
+         REF_SRC, "-G", "Ninja"],
+        cwd=REF_BUILD, capture_output=True, text=True)
+    if cfg.returncode:
+        raise RuntimeError(f"cmake configure of reference oracles failed:\n"
+                           f"{cfg.stdout[-2000:]}\n{cfg.stderr[-2000:]}")
+    bld = subprocess.run(["ninja"], cwd=REF_BUILD,
+                         capture_output=True, text=True)
+    if bld.returncode:
+        raise RuntimeError(f"ninja build of reference oracles failed:\n"
+                           f"{bld.stdout[-2000:]}\n{bld.stderr[-2000:]}")
+    missing = [p for p in (BWAIDX, BWAMEM, COMPSEED)
+               if not os.path.exists(p)]
+    if missing:
+        raise RuntimeError(f"reference build completed but binaries "
+                           f"missing: {missing}")
 
 # option sets our CLI and the reference getopt both accept verbatim
 OPT_POOL = ["-A2", "-B5", "-O5,7", "-E2,1", "-T25", "-k15", "-r1.2",

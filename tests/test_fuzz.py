@@ -18,11 +18,20 @@ _spec = importlib.util.spec_from_file_location(
 fuzz = importlib.util.module_from_spec(_spec)
 _spec.loader.exec_module(fuzz)
 
-needs_ref = pytest.mark.skipif(
-    not os.path.exists(fuzz.BWAMEM), reason="reference binaries not built")
+@pytest.fixture(scope="session", autouse=False)
+def ref_binaries():
+    """Build the reference oracles on first use; fail loudly, never skip.
+
+    VERDICT round-2 item 7: a fresh checkout used to skip all 13
+    differential-fuzz tests because .ref_build was absent — the
+    strongest correctness tier silently vanished.  Now the oracles are
+    built from /root/reference on demand (cached across the session and
+    across runs in .ref_build/).
+    """
+    fuzz.ensure_ref_binaries()
 
 
-@needs_ref
+@pytest.mark.usefixtures("ref_binaries")
 @pytest.mark.slow
 @pytest.mark.parametrize("seed", list(range(4242, 4252)))
 def test_fuzz_trial(seed, tmp_path):
@@ -30,7 +39,7 @@ def test_fuzz_trial(seed, tmp_path):
     assert not errs, errs
 
 
-@needs_ref
+@pytest.mark.usefixtures("ref_binaries")
 @pytest.mark.slow
 @pytest.mark.parametrize("seed,read_len,extra", [
     (5001, 151, None),                 # >=151 bp shape bucket
