@@ -185,6 +185,8 @@ def main() -> None:
     # seeds chunk k+1 while the host tail finishes chunk k), which is
     # how production runs consume a -K chunked input; average N_RUNS
     from compseed_tpu.pipeline.align import align_stream
+    if tail is not None:
+        tail.prof.clear()            # drop warmup chunks from the split
     n_timed = 2 * CHUNK
     rates = []
     stats = SeedingStats()
@@ -215,6 +217,10 @@ def main() -> None:
         "bwt_hit_pct": round(bwt_hit, 2),
         "sal_merged_pct": round(sal_merged, 2),
         "seed_d2h_bytes_per_chunk": int(seeder.prof.get("d2h_bytes", 0)),
+        # host-tail phase split, accumulated over the N_RUNS*2 timed
+        # chunks (the chain/engine/finalize blind spot of round 2)
+        "tail_profile_ms": {k: round(v * 1e3, 1)
+                            for k, v in (tail.prof if tail else {}).items()},
     }))
 
 

@@ -433,6 +433,9 @@ def cmd_mem(argv: list[str]) -> int:
         print(f"SA Lookup:   {stats.sal_queries} queries, {stats.sal_calls} "
               f"calls, {100.0 * (stats.sal_queries - stats.sal_calls) / stats.sal_queries:.2f} % merged",
               file=sys.stderr)
+    if args.verbose >= 3 and tail is not None and tail.prof:
+        split = " ".join(f"{k} {v:.2f}s" for k, v in tail.prof.items())
+        print(f"Host tail:   {split}", file=sys.stderr)
     return 0
 
 

@@ -155,6 +155,11 @@ class NativeTail:
         self.opt = opt
         self.copt = _to_csopt(opt)
         self.fm = fm
+        # host-tail phase timers (display_profile-grade, main.cpp:203-214):
+        # chain = cs_batch_create (chaining/filter/SeqPair emission),
+        # export/apply = pair metadata marshalling, engine = device BSW
+        # incl. its D2H sync, finalize = dedup/mapq/SAM build, sam = copy
+        self.prof: dict[str, float] = {}
         self.pac = np.ascontiguousarray(fm.pac)
         self.ann_off = np.array([a.offset for a in fm.bns.anns],
                                 dtype=np.int64)
@@ -202,7 +207,15 @@ class NativeTail:
         sflat = np.ascontiguousarray(sflat, dtype=np.int64)
         soff = np.ascontiguousarray(soff, dtype=np.int64)
 
+        import time as _time
+
+        def _tick(key, t0):
+            t1 = _time.perf_counter()
+            self.prof[key] = self.prof.get(key, 0.0) + (t1 - t0)
+            return t1
+
         use_meta = bool(getattr(engine, "supports_meta", False))
+        _t = _time.perf_counter()
         h = lib.cs_batch_create(
             ct.byref(self.copt), _ptr(self.pac, ct.c_uint8),
             self.fm.l_pac, _ptr(self.ann_off, ct.c_int64),
@@ -212,6 +225,7 @@ class NativeTail:
             _ptr(lrep, ct.c_int64),
             _ptr(sflat, ct.c_int64), _ptr(soff, ct.c_int64),
             1 if use_meta else 0)
+        _t = _tick("chain", _t)
         try:
             for side, pen in ((0, self.opt.pen_clip5),
                               (1, self.opt.pen_clip3)):
@@ -229,10 +243,13 @@ class NativeTail:
                                                 _ptr(qmeta, ct.c_int32),
                                                 _ptr(rmeta, ct.c_int64),
                                                 _ptr(h0, ct.c_int32))
+                        _t = _tick("export", _t)
                         res = engine.run_meta(qmeta, rmeta, h0, w, pen)
+                        _t = _tick("engine", _t)
                         lib.cs_apply_round(h, side, w, last,
                                            *[_ptr(a, ct.c_int32)
                                              for a in res])
+                        _t = _tick("apply", _t)
                         continue
                     mq = ct.c_int64()
                     mr = ct.c_int64()
@@ -250,10 +267,14 @@ class NativeTail:
                                         _ptr(rb, ct.c_uint8),
                                         _ptr(ro, ct.c_int64),
                                         _ptr(h0, ct.c_int32))
+                    _t = _tick("export", _t)
                     res = engine_flat(engine, qb, qo, rb, ro, h0, w, pen)
+                    _t = _tick("engine", _t)
                     lib.cs_apply_round(h, side, w, last,
                                        *[_ptr(a, ct.c_int32) for a in res])
+                    _t = _tick("apply", _t)
 
+            _t = _time.perf_counter()
             name_buf = b"".join(n.encode() for n in names)
             name_off = np.zeros(R + 1, np.int64)
             np.cumsum([len(n.encode()) for n in names], out=name_off[1:])
@@ -291,6 +312,7 @@ class NativeTail:
                                 _ptr(name_off, ct.c_int64), qual_buf, qoff_p,
                                 com_buf, coff_p,
                                 rg_id.encode() if rg_id else None)
+            _t = _tick("finalize", _t)
             out = []
             # latin-1 round-trips any byte: a corrupt record must surface
             # as a diagnosable SAM line, not a UnicodeDecodeError here
@@ -299,6 +321,7 @@ class NativeTail:
                 buf = ct.create_string_buffer(int(ln))
                 lib.cs_sam_copy(h, r, buf)
                 out.append(buf.raw.decode("latin-1"))
+            _tick("sam_copy", _t)
             return out
         finally:
             lib.cs_batch_destroy(h)

@@ -368,7 +368,7 @@ class BswRunner:
                                    opt.o_del, opt.e_del, opt.o_ins,
                                    opt.e_ins)
             out = np.asarray(bsw_meta_tiles(
-                self.mat25, qflat, self.dfi.pac_bases,
+                self.mat25, qflat, self.dfi.pac_words,
                 jnp.asarray(qm), jnp.asarray(r0).astype(dt),
                 jnp.asarray(rl), jnp.asarray(h0p), jnp.asarray(ws),
                 Q=Q, T=T, L=L, l_pac=self.dfi.l_pac,

@@ -329,8 +329,8 @@ def bsw_meta_tiles(mat25, qflat, pac,      # device read matrix + reference
     gp = r0[:, None] + (sign[:, None] * j2[None, :]).astype(r0.dtype)
     fwd = gp < l_pac
     pf = jnp.where(fwd, gp, 2 * l_pac - 1 - gp)
-    pf = jnp.clip(pf, 0, pac.shape[0] - 1)
-    tv = pac[pf].astype(i32)
+    from compseed_tpu.ops.device_index import pac_codes_at
+    tv = pac_codes_at(pac, pf).astype(i32)
     tv = jnp.where(fwd, tv, 3 - tv)
     tt = jnp.where(j2[None, :] < rlen[:, None], tv, 4)
     return _call_kernel(

@@ -18,8 +18,11 @@ gathers (no separate checkpoint fetch) and shrinking rows from 144 B to
 
   * ``occ_rows``   (n_blocks+1, 12) uint32 — fused occ/BWT rows
   * ``sa_sampled`` (n_sa,)          — sampled suffix array
-  * ``pac_bases``  (l_pac padded,)  uint8 — forward reference for
-    on-device reference-window fetches
+  * ``pac_words``  (ceil(l_pac/16),) uint32 — forward reference kept
+    2-bit packed, 16 bases per word (the reference keeps pac packed for
+    exactly this reason, FM_index/bwt.h:36-39: an unpacked uint8 copy
+    would cost 3.1 GB of HBM at hg19 vs 0.78 GB packed, on top of the
+    ~2.3 GB occ rows).  ``pac_codes_at`` extracts codes per position.
 
 Counts/positions compute in int32 when they fit (seq_len + 1 < 2^31),
 else int64 (``dtype``).
@@ -34,19 +37,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from compseed_tpu.index.build import OCC_INTERVAL, unpack_pac
+from compseed_tpu.index.build import OCC_INTERVAL
 from compseed_tpu.index.fmindex import FMIndex
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["occ_rows", "sa_sampled", "L2", "pac_bases"],
+         data_fields=["occ_rows", "sa_sampled", "L2", "pac_words"],
          meta_fields=["primary", "seq_len", "sa_intv", "l_pac", "idx_dtype"])
 @dataclass(frozen=True)
 class DeviceFMIndex:
     occ_rows: jax.Array    # (n_blocks+1, 12) uint32
     sa_sampled: jax.Array  # (n_sa,) idx_dtype
     L2: jax.Array          # (5,) idx_dtype
-    pac_bases: jax.Array   # (ceil(l_pac/128)*128,) uint8
+    pac_words: jax.Array   # (ceil(l_pac/16),) uint32, 2-bit packed
     primary: int
     seq_len: int
     sa_intv: int
@@ -86,6 +89,33 @@ def build_occ_rows(cp_occ: np.ndarray, bwt_words: np.ndarray) -> np.ndarray:
     return rows
 
 
+def pack_pac_words(pac: np.ndarray, l_pac: int) -> np.ndarray:
+    """View the on-disk 2-bit pac (4 bases/byte, first base in the high
+    bits — _set_pac, FM_index/bntseq.c:229) as little-endian uint32
+    words of 16 bases each, padded to a whole word."""
+    nb = (l_pac + 3) // 4
+    pad = (-nb) % 4
+    b = np.ascontiguousarray(pac[:nb])
+    if pad:
+        b = np.concatenate([b, np.zeros(pad, dtype=np.uint8)])
+    return np.frombuffer(b.tobytes(), dtype="<u4")
+
+
+def pac_codes_at(pac_words: jax.Array, pos: jax.Array) -> jax.Array:
+    """Extract 2-bit base codes at flat forward positions.
+
+    pos is clipped into the packed range; out-of-range reads are
+    garbage codes the callers mask (same contract as the old unpacked
+    gather).  Base i lives in word i>>4, byte (i>>2)&3 (LE), bits
+    (3-(i&3))*2 within the byte.
+    """
+    n = pac_words.shape[0]
+    p = jnp.clip(pos, 0, n * 16 - 1)
+    w = pac_words[(p >> 4).astype(jnp.int32)]   # word count always < 2^31
+    sh = (8 * ((p >> 2) & 3) + 2 * (3 - (p & 3))).astype(jnp.uint32)
+    return ((w >> sh) & 3).astype(jnp.uint8)
+
+
 def to_device(fm: FMIndex, force_dtype=None) -> DeviceFMIndex:
     """force_dtype overrides the int32/int64 choice (testing the
     hg19-scale int64 path on small genomes)."""
@@ -93,15 +123,11 @@ def to_device(fm: FMIndex, force_dtype=None) -> DeviceFMIndex:
         np.int32 if fm.seq_len + 1 < 2**31 else np.int64)
     assert fm.cp_occ.max() < 2**32, "per-base counts exceed uint32"
     rows = build_occ_rows(fm.cp_occ, fm.bwt_words)
-    pac = unpack_pac(fm.pac, fm.l_pac)
-    pad = (-len(pac)) % 128
-    if pad:
-        pac = np.concatenate([pac, np.zeros(pad, dtype=np.uint8)])
     return DeviceFMIndex(
         occ_rows=jnp.asarray(rows),
         sa_sampled=jnp.asarray(fm.sa_sampled.astype(idx_dtype)),
         L2=jnp.asarray(fm.L2.astype(idx_dtype)),
-        pac_bases=jnp.asarray(pac),
+        pac_words=jnp.asarray(pack_pac_words(fm.pac, fm.l_pac)),
         primary=fm.primary,
         seq_len=fm.seq_len,
         sa_intv=fm.sa_intv,

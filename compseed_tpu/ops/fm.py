@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 
 from compseed_tpu.ops.device_index import DeviceFMIndex
-from compseed_tpu.ops.occ_gather import gather_rows
 
 _U1 = jnp.uint32(0xFFFFFFFF)
 
@@ -32,7 +31,11 @@ def _row_fetch(fm: DeviceFMIndex, k):
     k must already be $-adjusted and clamped valid (>= 0)."""
     block = (k >> 7).astype(jnp.int32)
     off = (k & 0x7F).astype(jnp.int32)
-    rows = gather_rows(fm.occ_rows, block)      # (..., 12) uint32
+    # XLA's gather measures ~1.6 G rows/s in-program at 131k lanes on
+    # this platform (scripts/microbench_slope.py, 2026-08-19); a Pallas
+    # DMA row-gather kernel tried in round 2 was both slower to justify
+    # and stopped compiling on the current toolchain, so it was removed.
+    rows = jnp.take(fm.occ_rows, block, axis=0)  # (..., 12) uint32
     return rows[..., 0:4], rows[..., 4:8], rows[..., 8:12], off
 
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from compseed_tpu.ops.device_index import DeviceFMIndex
+from compseed_tpu.ops.device_index import DeviceFMIndex, pac_codes_at
 
 
 def fetch_windows(fm: DeviceFMIndex, beg: jax.Array, width: int) -> jax.Array:
@@ -25,6 +25,5 @@ def fetch_windows(fm: DeviceFMIndex, beg: jax.Array, width: int) -> jax.Array:
     is_rev = beg >= l_pac
     # mirror reverse-strand coordinates into forward space
     pos_f = jnp.where(is_rev[:, None], 2 * l_pac - 1 - pos, pos)
-    pos_f = jnp.clip(pos_f, 0, fm.pac_bases.shape[0] - 1)
-    bases = fm.pac_bases[pos_f]
+    bases = pac_codes_at(fm.pac_words, pos_f)
     return jnp.where(is_rev[:, None], 3 - bases, bases)

@@ -902,7 +902,8 @@ def chain_scan(fm: DeviceFMIndex, qarr, rlens, GP: int, memo: dict,
                advance: bool = True, mode: str = "lep",
                min_len: int = 0, max_intv: int = 0,
                record_lane_index: bool = False, active=None,
-               W: int = CHAIN_W, u_cap: int | None = None):
+               W: int = CHAIN_W, u_cap: int | None = None,
+               report_rounds: bool = False):
     """Forward scan with a cross-round, cross-mode extension-chain memo
     — the TPU rendering of the reference's forward SST trie
     (mapping/SST.h:60-92), where a large share of the hits are rounds
@@ -1156,6 +1157,20 @@ def chain_scan(fm: DeviceFMIndex, qarr, rlens, GP: int, memo: dict,
     def cond(st):
         return jnp.any(st["alive"]) & (st["rnd"] < RCAP)
 
+    if report_rounds:
+        # profiling diagnostic: per-round alive counts (RCAP-padded)
+        st0["alive_hist"] = jnp.zeros(RCAP, jnp.int32)
+        inner_body = body
+
+        def body(st):  # noqa: F811 — instrumented wrapper
+            st = dict(st)
+            hist = st.pop("alive_hist")
+            rnd = st["rnd"]
+            hist = hist.at[rnd].set(jnp.sum(st["alive"], dtype=jnp.int32))
+            st = inner_body(st)
+            st["alive_hist"] = hist
+            return st
+
     st = jax.lax.while_loop(cond, body, st0)
     ovf = st["povf"] | jnp.any(st["alive"])
 
@@ -1167,6 +1182,9 @@ def chain_scan(fm: DeviceFMIndex, qarr, rlens, GP: int, memo: dict,
     forder = jnp.lexsort((o_end, o_piv, o_rid))
     pool = pool[forder]
     memo_out = {kk: st[kk] for kk in MEMO_KEYS}
+    if report_rounds:
+        return (pool, st["cursor"], ovf, st["fq"], st["fc"], memo_out,
+                st["rnd"], st["alive_hist"])
     return pool, st["cursor"], ovf, st["fq"], st["fc"], memo_out
 
 

@@ -257,7 +257,7 @@ class ShardedBswRunner(BswRunner):
         step = self._meta_step(P_shard, Q, T, L)
         dt = self.dfi.dtype
         out = np.asarray(step(
-            self.mat25, qflat, self.dfi.pac_bases, jnp.asarray(qm),
+            self.mat25, qflat, self.dfi.pac_words, jnp.asarray(qm),
             jnp.asarray(r0).astype(dt), jnp.asarray(rl),
             jnp.asarray(h0p), jnp.asarray(ws)))
         return tuple(out[slot, j].astype(np.int32) for j in range(6))

@@ -20,9 +20,6 @@ timeout 5400 python bench.py | tee /tmp/bench_checkin.json
 echo "== seeding profile (default config) =="
 timeout 3600 python scripts/profile_seeding.py 2>&1 | tail -40
 
-echo "== A/B: Pallas DMA occ gather =="
-COMPSEED_PALLAS_GATHER=1 timeout 3600 \
-  python scripts/profile_seeding.py 2>&1 | tail -12
 echo "== A/B: round-2 dedup =="
 COMPSEED_R2_DEDUP=1 timeout 3600 \
   python scripts/profile_seeding.py 2>&1 | tail -12

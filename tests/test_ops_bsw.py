@@ -148,7 +148,8 @@ def test_run_meta_class_split_interpret(micro):
 
     seq, built, fm = micro
     dfi = to_device(fm)
-    pac = np.asarray(dfi.pac_bases)
+    from compseed_tpu.index.build import unpack_pac
+    pac = unpack_pac(fm.pac, fm.l_pac)   # mirrored pf is always < l_pac
     l_pac = int(dfi.l_pac)
     opt = MemOptions()
     mat = np.array(fill_scmat(1, 4), dtype=np.int32)

@@ -71,18 +71,3 @@ def test_occ4_jit_int32(dev):
     assert np.array_equal(np.asarray(out1), np.asarray(out2))
 
 
-def test_pallas_gather_rows_interpret(dev):
-    """Pallas DMA row-gather == XLA gather (interpret mode on CPU)."""
-    from compseed_tpu.ops.occ_gather import gather_rows_pallas
-    seq, fm, dfi = dev
-    rng = np.random.default_rng(24)
-    nrows = dfi.occ_rows.shape[0]
-    for n in (1, 7, 100, 1500):
-        idx = jnp.asarray(rng.integers(0, nrows, size=n), jnp.int32)
-        got = gather_rows_pallas(dfi.occ_rows, idx, interpret=True)
-        want = dfi.occ_rows[idx]
-        assert np.array_equal(np.asarray(got), np.asarray(want)), n
-    # 2-D index shape
-    idx2 = jnp.asarray(rng.integers(0, nrows, size=(6, 5)), jnp.int32)
-    got2 = gather_rows_pallas(dfi.occ_rows, idx2, interpret=True)
-    assert np.array_equal(np.asarray(got2), np.asarray(dfi.occ_rows[idx2]))
