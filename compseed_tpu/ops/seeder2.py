@@ -397,9 +397,18 @@ class DeviceSeeder:
             s = jnp.concatenate([s1, s2, s3])
             beg = jnp.concatenate([b1, b2, b3])
             end = jnp.concatenate([e1, e2, e3])
-            big = jnp.asarray((1 << 30), i32)
-            rid_kc = jnp.where(ok, rid, big)
-            order = jnp.lexsort((end, beg, rid_kc))
+            # single packed-key argsort ((rid, beg, end) bounds are
+            # static; a 3-key lexsort costs tens of ms at this width)
+            rid_kc = jnp.where(ok, rid.astype(i32), R)
+            span = L + 2
+            if (R + 2) * span * span < 2**31:
+                okey = (rid_kc * span + beg.astype(i32)) * span + \
+                    end.astype(i32)
+            else:
+                okey = (rid_kc.astype(jnp.int64) * span +
+                        beg.astype(jnp.int64)) * span + \
+                    end.astype(jnp.int64)
+            order = jnp.argsort(okey).astype(i32)
             total = jnp.sum(ok.astype(i32))
             movf = total > MEMCAP
             take = order[:MEMCAP]
@@ -426,7 +435,7 @@ class DeviceSeeder:
             locs = jnp.where(v, k[midx] + within * step[midx], 0)
             # merged SAL (comp_seed.cpp:2306-2347)
             lord = jnp.argsort(jnp.where(v, locs, jnp.iinfo(locs.dtype).max),
-                               stable=True)
+                               stable=True).astype(i32)
             lsort = locs[lord]
             vsort = v[lord]
             head = vsort & jnp.concatenate([
@@ -434,8 +443,12 @@ class DeviceSeeder:
                 (lsort[1:] != lsort[:-1]) | ~vsort[:-1]])
             n_uniq = jnp.sum(head.astype(i32))
             uovf = n_uniq > UCAP
-            uord = jnp.argsort(~head, stable=True)
-            reps = jnp.where(head[uord], lsort[uord], 0)[:UCAP]
+            # compact unique locations via rank scatter (a bool argsort
+            # costs ~24 ms at this width on this platform)
+            urank = jnp.cumsum(head.astype(i32)) - 1
+            reps = jnp.zeros(UCAP, dt).at[
+                jnp.where(head & (urank < UCAP), urank, UCAP)].set(
+                lsort, mode="drop")
             sa, wovf = dfm.sa_batch_compact(fm, reps)
             # scatter resolved values back: sorted position -> rep index
             ridx = jnp.cumsum(head.astype(i32)) - 1

@@ -224,11 +224,19 @@ def compact_state(state, new_size: int):
     ovf flag).  Finished lanes keep their results in the returned 'done'
     copy; live lanes beyond new_size raise ovf.
     """
+    i32 = jnp.int32
     alive = state["alive"]
-    order = jnp.argsort(~alive, stable=True)
-    n_alive = jnp.sum(alive.astype(jnp.int32))
+    M = alive.shape[0]
+    n_alive = jnp.sum(alive.astype(i32))
     ovf = n_alive > new_size
-    live = {k: v[order][:new_size] for k, v in state.items()}
+    # stable compaction via rank scatter (a bool argsort costs ~24 ms
+    # at pool width on this platform); gathers run at the SLICED width
+    rank_a = jnp.cumsum(alive.astype(i32)) - 1
+    rank_d = jnp.cumsum((~alive).astype(i32)) - 1 + n_alive
+    pos = jnp.where(alive, rank_a, rank_d)
+    order = jnp.zeros(M, i32).at[pos].set(jnp.arange(M, dtype=i32))
+    take = order[:new_size]
+    live = {k: v[take] for k, v in state.items()}
     return live, ovf
 
 
@@ -262,9 +270,16 @@ def build_pool(lep, cnt, GP: int):
     flat = lep.reshape(R * capl, 5)
     vflat = valid.reshape(-1)
     rflat = rid.reshape(-1)
-    order = jnp.argsort(~vflat, stable=True)
-    n = jnp.sum(vflat.astype(jnp.int32))
+    i32 = jnp.int32
+    M = vflat.shape[0]
+    n = jnp.sum(vflat.astype(i32))
     ovf = n > GP
+    # stable compaction via rank scatter (bool argsort is ~24 ms at
+    # this width)
+    rank_v = jnp.cumsum(vflat.astype(i32)) - 1
+    rank_i = jnp.cumsum((~vflat).astype(i32)) - 1 + n
+    pos = jnp.where(vflat, rank_v, rank_i)
+    order = jnp.zeros(M, i32).at[pos].set(jnp.arange(M, dtype=i32))
     take = order[:GP]
     pool = jnp.concatenate([
         flat[take],
@@ -638,7 +653,10 @@ def forward_scan_dedup(fm: DeviceFMIndex, qarr, rlens, GP: int,
     s = jnp.where(alive, ik0[:, 2], 0)
     pos = pivot + 1
 
-    pool = jnp.zeros((GP, 7), dt)
+    # pool carried as six 1D columns (column scatters are ~free where
+    # a (n*B, 7) row scatter costs ~11 ms — see chain_scan); validity
+    # is synthesized from the cursor (pushes fill slots contiguously)
+    pool_c = [jnp.zeros(GP, dt) for _ in range(6)]
     cursor = jnp.asarray(0, i32)
     povf = jnp.asarray(False)
     uovf = jnp.asarray(False)
@@ -675,17 +693,23 @@ def forward_scan_dedup(fm: DeviceFMIndex, qarr, rlens, GP: int,
         w1 = A1[lane_rid, pcol + B] - A1[lane_rid, pcol] * pwr1
         w2 = A2[lane_rid, pcol + B] - A2[lane_rid, pcol] * pwr2
         valid = alive
-        keys = [jnp.where(valid, w1.astype(jnp.int64), big),
-                jnp.where(valid, w2.astype(jnp.int64), big),
-                jnp.where(valid, l.astype(jnp.int64), big),
-                jnp.where(valid, s.astype(jnp.int64), big),
-                jnp.where(valid, mh.astype(jnp.int64), big)]
+        keys = [w1, w2, l.astype(jnp.uint64), s.astype(jnp.uint64),
+                mh.astype(jnp.uint64)]
         if mode == "r3":
             # the hit test reads the segment length pos - pivot, so
             # group members must share it
-            keys.append(jnp.where(valid, (pos - pivot).astype(jnp.int64),
-                                  big))
-        order = jnp.lexsort(tuple(reversed(keys)))
+            keys.append((pos - pivot).astype(jnp.uint64))
+        # sort by ONE avalanched 64-bit mix of the full key (a multi-key
+        # int64 lexsort costs several ms on this platform); the boundary
+        # test still compares every key, so a mix collision only splits
+        # a group (one extra rep walk), never merges one
+        gh = keys[0]
+        for i, x in enumerate(keys[1:]):
+            gh = (gh ^ (x * jnp.uint64(_MX1 + 2 * i))) * jnp.uint64(_MX3)
+            gh = gh ^ (gh >> jnp.uint64(31))
+        order = jnp.argsort(jnp.where(
+            valid, gh >> jnp.uint64(1),
+            jnp.uint64(big)).astype(jnp.int64)).astype(i32)
         ks = [x[order] for x in keys]
         vs = valid[order]
         diff = jnp.concatenate([
@@ -695,8 +719,9 @@ def forward_scan_dedup(fm: DeviceFMIndex, qarr, rlens, GP: int,
         gidx_sorted = jnp.cumsum(head.astype(i32)) - 1
         n_u = jnp.sum(head.astype(i32))
         uovf = uovf | (n_u > U)
-        order2 = jnp.argsort(~head, stable=True)
-        rep_take = order[order2][:U]
+        rep_take = jnp.zeros(U, i32).at[
+            jnp.where(head & (gidx_sorted < U), gidx_sorted, U)].set(
+            order, mode="drop")
         sortpos = jnp.zeros(n_lanes, i32).at[order].set(
             jnp.arange(n_lanes, dtype=i32))
         group = jnp.clip(gidx_sorted[sortpos], 0, U - 1)    # lane->rep row
@@ -749,19 +774,18 @@ def forward_scan_dedup(fm: DeviceFMIndex, qarr, rlens, GP: int,
                         st["pk"][group])
         row_id = jnp.arange(n_lanes, dtype=i32) if record_lane_index \
             else lane_rid
-        rows = jnp.stack([
-            pks.reshape(-1),
-            st["pl"][group].reshape(-1),
-            st["ps"][group].reshape(-1),
-            ends.reshape(-1).astype(dt),
-            pivs.reshape(-1).astype(dt),
-            jnp.broadcast_to(row_id[:, None], (n_lanes, B))
-            .reshape(-1).astype(dt),
-            jnp.ones(n_lanes * B, dt)], axis=1)               # (n*B, 7)
+        cols = (pks.reshape(-1),
+                st["pl"][group].reshape(-1),
+                st["ps"][group].reshape(-1),
+                ends.reshape(-1).astype(dt),
+                pivs.reshape(-1).astype(dt),
+                jnp.broadcast_to(row_id[:, None], (n_lanes, B))
+                .reshape(-1).astype(dt))
         pflat = pf.reshape(-1)
         rank = jnp.cumsum(pflat.astype(i32)) - 1
         slot = jnp.where(pflat, cursor + rank, GP)
-        pool = pool.at[slot].set(rows, mode="drop")
+        pool_c = [c.at[slot].set(v, mode="drop")
+                  for c, v in zip(pool_c, cols)]
         n_push = jnp.sum(pflat.astype(i32))
         cursor = cursor + n_push
         povf = povf | (cursor > GP)
@@ -799,13 +823,18 @@ def forward_scan_dedup(fm: DeviceFMIndex, qarr, rlens, GP: int,
 
     ovf = povf | uovf | jnp.any(alive)
 
-    # ---- final order: valid rows by (rid, pivot, end) = push order
-    pvalid = pool[:, 6] != 0
-    o_rid = jnp.where(pvalid, pool[:, 5].astype(jnp.int64), big)
-    o_piv = jnp.where(pvalid, pool[:, 4].astype(jnp.int64), big)
-    o_end = jnp.where(pvalid, pool[:, 3].astype(jnp.int64), big)
-    forder = jnp.lexsort((o_end, o_piv, o_rid))
-    pool = pool[forder]
+    # ---- final order: valid rows by (rid, pivot, end) = push order,
+    # as one packed int64 key (bounds are static)
+    pvalid = jnp.arange(GP, dtype=i32) < cursor
+    EB = 2 * L + max_b + 4            # conservative: end < L in practice
+    PB = 2 * L + 4                    # conservative: pivot < L in practice
+    kdt = i32 if (max(R, n_lanes) + 2) * EB * PB < 2**31 else jnp.int64
+    okey = (pool_c[5].astype(kdt) * PB +
+            pool_c[4].astype(kdt)) * EB + pool_c[3].astype(kdt)
+    forder = jnp.argsort(
+        jnp.where(pvalid, okey, jnp.iinfo(kdt).max)).astype(i32)
+    pool = jnp.stack(list(pool_c) + [pvalid.astype(dt)],
+                     axis=1)[forder]
     return pool, cursor, ovf, fq, fc
 
 
@@ -821,39 +850,63 @@ def make_chain_memo(H: int, M: int, W: int, dt):
     """Zeroed chain-memo state (the cross-round SST).
 
     A direct-mapped hash TABLE of H slots (power of two) holds the keys
-    — (l0, s0, 128-bit content-window hash) — plus the chain metadata
-    (entry k0, length, pointer); the chain state sequences live in a
-    dense append-only store of M rows.  Collisions evict (the newest
-    entry wins) and a full store stops inserting: both only LOSE reuse,
-    never correctness, so unlike every other cap in this file the memo
-    needs no overflow fallback.  Lookup and insert are O(lanes) gathers
-    and scatters per round — no O(M) sort ever touches the table (the
-    reference trie's pointer-chasing lookup, SST.h:60-92, costs O(1)
-    per child for the same reason)."""
+    — (l0, s0, EXACT 3-bit-packed W-char content window) — plus the
+    chain metadata (entry k0, length, pointer); the chain state
+    sequences live in a dense append-only store of M rows.  Collisions
+    evict (the newest entry wins) and a full store stops inserting:
+    both only LOSE reuse, never correctness, so unlike every other cap
+    in this file the memo needs no overflow fallback.  Lookup and
+    insert are O(lanes) gathers and scatters per round — no O(M) sort
+    ever touches the table (the reference trie's pointer-chasing
+    lookup, SST.h:60-92, costs O(1) per child for the same reason).
+
+    Layout is measured-on-TPU friendly (2026-08-19: 64-bit gathers,
+    scatters and sorts cost multiple ms at pool widths where 32-bit is
+    near-free, and 64-bit multiplies are emulated): at W <= 10 the
+    window content packs EXACTLY into one uint32 (3 bits per code,
+    codes 0..4), so the key needs no 128-bit rolling hash at all —
+    matching is exact, not probabilistic — and the (M, W) chain stores
+    are flattened to (M*W,) so inserts are 1D scatters."""
     zed = jnp.zeros
     assert H & (H - 1) == 0, "H must be a power of two"
+    assert 3 * W <= 32, "chain window must pack into uint32 (W <= 10)"
     return dict(
-        th1=zed(H, jnp.uint64), th2=zed(H, jnp.uint64),
+        tw=zed(H, jnp.uint32),
         tl0=zed(H, dt), ts0=zed(H, dt), tk0=zed(H, dt),
         tln=zed(H, jnp.int32), tp=zed(H, jnp.int32),
         tv=zed(H, jnp.bool_),
-        ck=zed((M, W), dt), cl=zed((M, W), dt), cs=zed((M, W), dt),
+        ck=zed(M * W, dt), cl=zed(M * W, dt), cs=zed(M * W, dt),
         cur=jnp.asarray(0, jnp.int32),
     )
 
 
-MEMO_KEYS = ("th1", "th2", "tl0", "ts0", "tk0", "tln", "tp", "tv",
-             "ck", "cl", "cs", "cur")
+MEMO_KEYS = ("tw", "tl0", "ts0", "tk0",
+             "tln", "tp", "tv", "ck", "cl", "cs", "cur")
 
 
-def _slot_hash(h1, h2, l, s, H: int):
+def _slot_hash(wv, l, s, H: int):
     """Avalanched slot index in [0, H) from the full chain key."""
-    z = h1 ^ (h2 * jnp.uint64(_MX3)) ^ \
+    z = wv.astype(jnp.uint64) ^ \
         (l.astype(jnp.uint64) * jnp.uint64(_MX1)) ^ \
         (s.astype(jnp.uint64) * jnp.uint64(_MX2))
     z = (z ^ (z >> jnp.uint64(33))) * jnp.uint64(_MX1)
     z = z ^ (z >> jnp.uint64(29))
     return (z & jnp.uint64(H - 1)).astype(jnp.int32)
+
+
+def packed_windows(qarr, W: int):
+    """win[r, p] = 3-bit-packed codes of row r's chars [p, p+W), the
+    row extended with 4s; p in [0, L+2).  The EXACT chain-key content
+    (what padded_prefix_state hashes for the staged dedup) in one
+    uint32 — flat, for cheap 1D gathers."""
+    R, L = qarr.shape
+    ext = jnp.concatenate(
+        [qarr, jnp.full((R, W + 2), 4, qarr.dtype)],
+        axis=1).astype(jnp.uint32)
+    win = jnp.zeros((R, L + 2), jnp.uint32)
+    for j in range(W):
+        win = win | (ext[:, j:j + L + 2] << np.uint32(3 * j))
+    return win.reshape(-1)
 
 
 def _chain_walk(fm: DeviceFMIndex, qflat, L: int, W: int,
@@ -910,8 +963,8 @@ def chain_scan(fm: DeviceFMIndex, qarr, rlens, GP: int, memo: dict,
     2/3 re-walking content round 1 already paid for.
 
     The unit of sharing is a CHAIN: W pure forward extensions from a
-    bi-interval state, keyed by (l, s, 128-bit hash of the W upcoming
-    chars).  Forward steps rank at l (ops/fm.py:91-95), so (l, s,
+    bi-interval state, keyed by (l, s, the W upcoming chars packed
+    EXACTLY into one uint32 — see packed_windows).  Forward steps rank at l (ops/fm.py:91-95), so (l, s,
     content) determines every l_j/s_j of the chain exactly, while each
     consumer re-bases k by its own offset (dk = lane k0 - entry k0) —
     the l-domain lemma the staged dedup's scatter uses.  Chains carry
@@ -935,13 +988,13 @@ def chain_scan(fm: DeviceFMIndex, qarr, rlens, GP: int, memo: dict,
     n_lanes = R if rids is None else rids.shape[0]
     U = u_cap if u_cap is not None else max(n_lanes // 2, 64)
     U = min(U, n_lanes)
-    H = memo["th1"].shape[0]
-    M = memo["ck"].shape[0]
+    H = memo["tw"].shape[0]
+    M = memo["ck"].shape[0] // W
     RCAP = 3 * L + 16
 
     qflat = qarr.reshape(-1)
     rlens = rlens.astype(i32)
-    A1, A2 = padded_prefix_state(qarr, W + 2)
+    winflat = packed_windows(qarr, W)
     nxt = next_nonamb(qarr)
     lane_rid = jnp.arange(R, dtype=i32) if rids is None \
         else rids.astype(i32)
@@ -962,17 +1015,22 @@ def chain_scan(fm: DeviceFMIndex, qarr, rlens, GP: int, memo: dict,
 
     base0 = qflat[jnp.clip(lane_rid * L + pivot, 0, qflat.shape[0] - 1)]
     ik0 = _set_intv(fm, jnp.clip(base0.astype(i32), 0, 3)).T
-    pwr1 = jnp.uint64(_pow_u64(_BM1, W))
-    pwr2 = jnp.uint64(_pow_u64(_BM2, W))
     big = jnp.iinfo(jnp.int64).max
     jj = jnp.arange(W, dtype=i32)[None, :]
 
+    # the pool is carried as six 1D columns (k,l,s,end,pivot,rid):
+    # column scatters are ~free where the old (GP, 7) row scatter cost
+    # ~11 ms per round; validity is synthesized from the cursor at the
+    # end (pushes fill slots 0..cursor-1 contiguously)
     st0 = dict(memo)
     st0.update(
         pivot=pivot, pos=pivot + 1, alive=alive,
         k=jnp.where(alive, ik0[:, 0], 0), l=jnp.where(alive, ik0[:, 1], 0),
         s=jnp.where(alive, ik0[:, 2], 0),
-        pool=jnp.zeros((GP, 7), dt), cursor=jnp.asarray(0, i32),
+        pool_k=jnp.zeros(GP, dt), pool_l=jnp.zeros(GP, dt),
+        pool_s=jnp.zeros(GP, dt), pool_e=jnp.zeros(GP, dt),
+        pool_p=jnp.zeros(GP, dt), pool_r=jnp.zeros(GP, dt),
+        cursor=jnp.asarray(0, i32),
         povf=jnp.asarray(False),
         fq=jnp.asarray(0, i32), fc=jnp.asarray(0, i32),
         rnd=jnp.asarray(0, i32))
@@ -981,39 +1039,43 @@ def chain_scan(fm: DeviceFMIndex, qarr, rlens, GP: int, memo: dict,
         pivot, pos, lalive = st["pivot"], st["pos"], st["alive"]
         k, l, s = st["k"], st["l"], st["s"]
         pc = jnp.clip(pos, 0, L + 1)
-        w1 = A1[lane_rid, pc + W] - A1[lane_rid, pc] * pwr1
-        w2 = A2[lane_rid, pc + W] - A2[lane_rid, pc] * pwr2
+        wv = winflat[lane_rid * (L + 2) + pc]     # exact W-char window
 
         # ---- probe the memo table (one gather per lane).  ALL hit
         # metadata is read here, BEFORE this round's inserts: a slot can
         # be evicted by an insert below, and a hit must apply the entry
         # it matched, not the new occupant.  (The chain STORE rows are
         # append-only, so the ptr gathered here stays valid.)
-        slot = _slot_hash(w1, w2, l, s, H)
-        hit = lalive & st["tv"][slot] & \
-            (st["th1"][slot] == w1) & (st["th2"][slot] == w2) & \
+        slot = _slot_hash(wv, l, s, H)
+        hit = lalive & st["tv"][slot] & (st["tw"][slot] == wv) & \
             (st["tl0"][slot] == l) & (st["ts0"][slot] == s)
         ptr = jnp.clip(st["tp"][slot], 0, M - 1)
         hk0 = st["tk0"][slot]
         hln = st["tln"][slot]
 
-        # ---- group misses by the same (window, l, s) key
+        # ---- group misses by the same (window, l, s) key.  Sorting by
+        # the SLOT (one int32 argsort; the old 4-key int64 lexsort costs
+        # several ms/round on this platform) brings equal keys adjacent
+        # — same key implies same slot — while the boundary test below
+        # still compares the FULL key, so a slot collision between
+        # distinct keys only splits a group (an extra rep walk), never
+        # merges one.
         miss = lalive & ~hit
-        keys = [jnp.where(miss, w1.astype(jnp.int64), big),
-                jnp.where(miss, w2.astype(jnp.int64), big),
-                jnp.where(miss, l.astype(jnp.int64), big),
-                jnp.where(miss, s.astype(jnp.int64), big)]
-        order = jnp.lexsort(tuple(reversed(keys)))
-        ks = [x[order] for x in keys]
+        order = jnp.argsort(jnp.where(miss, slot, H).astype(i32),
+                            stable=True).astype(i32)
         vs = miss[order]
+        ko = [x[order] for x in (wv, l, s)]
         diff = jnp.concatenate([
             jnp.asarray([True]),
-            jnp.stack([x[1:] != x[:-1] for x in ks]).any(axis=0)])
+            jnp.stack([x[1:] != x[:-1] for x in ko]).any(axis=0)])
         head = vs & diff
         gidx_sorted = jnp.cumsum(head, dtype=i32) - 1
         n_u = jnp.sum(head, dtype=i32)
-        order2 = jnp.argsort(~head, stable=True)
-        rep_take = order[order2][:U]
+        # compact the group heads' lane indices to the first U rep rows
+        # (cumsum rank + 1D scatter; replaces a stable argsort)
+        rep_take = jnp.zeros(U, i32).at[
+            jnp.where(head & (gidx_sorted < U), gidx_sorted, U)].set(
+            order, mode="drop")
         sortpos = jnp.zeros(n_lanes, i32).at[order].set(
             jnp.arange(n_lanes, dtype=i32))
         group = jnp.clip(gidx_sorted[sortpos], 0, U - 1)
@@ -1035,25 +1097,22 @@ def chain_scan(fm: DeviceFMIndex, qarr, rlens, GP: int, memo: dict,
         # share a SLOT — keep one so the per-field scatters stay
         # mutually consistent (duplicate-index scatter order is
         # undefined, and a slot mixing two entries would corrupt a key).
+        # Reps arrive in ascending slot order (the grouping sorted by
+        # slot), so duplicate suppression is one adjacent compare.
         rank = jnp.cumsum(rep_valid, dtype=i32) - 1
         cptr = st["cur"] + rank
         can = rep_valid & (cptr < M)
         rslot = slot[rep_take]
-        rsort = jnp.argsort(
-            jnp.where(can, rslot, H).astype(jnp.int32), stable=True)
-        rs_sorted = rslot[rsort]
         first = jnp.concatenate([jnp.asarray([True]),
-                                 rs_sorted[1:] != rs_sorted[:-1]])
-        keep = jnp.zeros(U, jnp.bool_).at[rsort].set(first) & can
+                                 rslot[1:] != rslot[:-1]])
+        keep = first & can
         tslot = jnp.where(keep, rslot, H)
-        st["ck"] = st["ck"].at[jnp.where(can, cptr, M)].set(
-            ck, mode="drop")
-        st["cl"] = st["cl"].at[jnp.where(can, cptr, M)].set(
-            cl, mode="drop")
-        st["cs"] = st["cs"].at[jnp.where(can, cptr, M)].set(
-            cs, mode="drop")
-        st["th1"] = st["th1"].at[tslot].set(w1[rep_take], mode="drop")
-        st["th2"] = st["th2"].at[tslot].set(w2[rep_take], mode="drop")
+        cidx = jnp.where(can, cptr, M)
+        fidx = (cidx[:, None] * W + jj).reshape(-1)
+        st["ck"] = st["ck"].at[fidx].set(ck.reshape(-1), mode="drop")
+        st["cl"] = st["cl"].at[fidx].set(cl.reshape(-1), mode="drop")
+        st["cs"] = st["cs"].at[fidx].set(cs.reshape(-1), mode="drop")
+        st["tw"] = st["tw"].at[tslot].set(wv[rep_take], mode="drop")
         st["tl0"] = st["tl0"].at[tslot].set(l[rep_take], mode="drop")
         st["ts0"] = st["ts0"].at[tslot].set(s[rep_take], mode="drop")
         st["tk0"] = st["tk0"].at[tslot].set(k[rep_take], mode="drop")
@@ -1067,7 +1126,8 @@ def chain_scan(fm: DeviceFMIndex, qarr, rlens, GP: int, memo: dict,
         applied = hit | memb
 
         def pick(tab, wbuf):
-            return jnp.where(hit[:, None], tab[ptr], wbuf[group])
+            return jnp.where(hit[:, None], tab[ptr[:, None] * W + jj],
+                             wbuf[group])
 
         src_k0 = jnp.where(hit, hk0, k[rep_take][group])
         src_ln = jnp.where(hit, hln, ln[group])
@@ -1106,19 +1166,24 @@ def chain_scan(fm: DeviceFMIndex, qarr, rlens, GP: int, memo: dict,
         st["fq"] = st["fq"] + jnp.sum(jnp.where(applied, cons, 0),
                                       dtype=i32)
 
-        # ---- flush pushes
-        rows = jnp.stack([
-            recK.reshape(-1), recL.reshape(-1), recS.reshape(-1),
-            recE.reshape(-1).astype(dt),
-            jnp.broadcast_to(pivot[:, None], (n_lanes, W))
-            .reshape(-1).astype(dt),
-            jnp.broadcast_to(row_id[:, None], (n_lanes, W))
-            .reshape(-1).astype(dt),
-            jnp.ones(n_lanes * W, dt)], axis=1)
+        # ---- flush pushes (six 1D column scatters; see st0 comment)
         pflat = push.reshape(-1)
         rank = jnp.cumsum(pflat, dtype=i32) - 1
         pslot = jnp.where(pflat, st["cursor"] + rank, GP)
-        st["pool"] = st["pool"].at[pslot].set(rows, mode="drop")
+        st["pool_k"] = st["pool_k"].at[pslot].set(
+            recK.reshape(-1), mode="drop")
+        st["pool_l"] = st["pool_l"].at[pslot].set(
+            recL.reshape(-1), mode="drop")
+        st["pool_s"] = st["pool_s"].at[pslot].set(
+            recS.reshape(-1), mode="drop")
+        st["pool_e"] = st["pool_e"].at[pslot].set(
+            recE.reshape(-1).astype(dt), mode="drop")
+        st["pool_p"] = st["pool_p"].at[pslot].set(
+            jnp.broadcast_to(pivot[:, None], (n_lanes, W))
+            .reshape(-1).astype(dt), mode="drop")
+        st["pool_r"] = st["pool_r"].at[pslot].set(
+            jnp.broadcast_to(row_id[:, None], (n_lanes, W))
+            .reshape(-1).astype(dt), mode="drop")
         st["cursor"] = st["cursor"] + jnp.sum(pflat, dtype=i32)
         st["povf"] = st["povf"] | (st["cursor"] > GP)
 
@@ -1174,13 +1239,20 @@ def chain_scan(fm: DeviceFMIndex, qarr, rlens, GP: int, memo: dict,
     st = jax.lax.while_loop(cond, body, st0)
     ovf = st["povf"] | jnp.any(st["alive"])
 
-    pool = st["pool"]
-    pvalid = pool[:, 6] != 0
-    o_rid = jnp.where(pvalid, pool[:, 5].astype(jnp.int64), big)
-    o_piv = jnp.where(pvalid, pool[:, 4].astype(jnp.int64), big)
-    o_end = jnp.where(pvalid, pool[:, 3].astype(jnp.int64), big)
-    forder = jnp.lexsort((o_end, o_piv, o_rid))
-    pool = pool[forder]
+    # pushes fill slots 0..cursor-1 contiguously, so validity is a
+    # range test; the (rid, pivot, end) final order packs into one
+    # int64 key (bounds are static), replacing a 3-key lexsort
+    pvalid = jnp.arange(GP, dtype=i32) < st["cursor"]
+    EB = L + 2 * W + 4
+    PB = L + 2
+    kdt = i32 if (max(R, n_lanes) + 2) * EB * PB < 2**31 else jnp.int64
+    okey = (st["pool_r"].astype(kdt) * PB +
+            st["pool_p"].astype(kdt)) * EB + st["pool_e"].astype(kdt)
+    forder = jnp.argsort(
+        jnp.where(pvalid, okey, jnp.iinfo(kdt).max)).astype(i32)
+    pool = jnp.stack([
+        st["pool_k"], st["pool_l"], st["pool_s"], st["pool_e"],
+        st["pool_p"], st["pool_r"], pvalid.astype(dt)], axis=1)[forder]
     memo_out = {kk: st[kk] for kk in MEMO_KEYS}
     if report_rounds:
         return (pool, st["cursor"], ovf, st["fq"], st["fc"], memo_out,
@@ -1189,17 +1261,21 @@ def chain_scan(fm: DeviceFMIndex, qarr, rlens, GP: int, memo: dict,
 
 
 def prefix_hashes(qarr):
-    """(R, L) uint8 -> (R, L) uint64 rolling hashes; H[:, i] covers
-    q[:, :i+1].  A backward walk from position i consumes exactly the
-    read prefix below its pivot, so (interval k, size s, pivot,
-    prefix-hash) identifies a walk's full outcome across the batch —
-    the cross-read state sharing the reference gets from its SST trie
-    (mapping/SST.h:60-92), here as a sort/unique over the worklist.
+    """(R, L) uint8 -> (R, L, 2) uint32 rolling hashes; H[:, i, :]
+    covers q[:, :i+1].  A backward walk from position i consumes
+    exactly the read prefix below its pivot, so (interval k, size s,
+    pivot, prefix-hash) identifies a walk's full outcome across the
+    batch — the cross-read state sharing the reference gets from its
+    SST trie (mapping/SST.h:60-92), here as a sort/unique over the
+    worklist.
 
-    The returned array is (R, L, 2): two independent 64-bit rolling
-    hashes, giving a 128-bit effective key — wide enough that a silent
-    collision (which would merge distinct walks and corrupt seeds) has
-    negligible probability at any batch scale.
+    Two independent 32-bit rolling hashes (64-bit math is emulated on
+    TPU; the u64 pair version of this scan measured 154 ms per 16k
+    chunk, 2026-08-19).  64 content bits joined with the EXACT
+    (k, s, pivot) fields in dedup_pool's boundary compare: a silent
+    merge needs two rows with identical interval/size/pivot AND a
+    64-bit double collision — < 2e-11 per chunk at pool width 786k,
+    i.e. negligible even over genome-scale runs.
     """
 
     def comb(x, y):
@@ -1208,13 +1284,13 @@ def prefix_hashes(qarr):
         return m1 * m2, a1 * m2 + a2
 
     def one(base: int, salt: int):
-        a = (qarr.astype(jnp.uint64) + jnp.uint64(salt))
-        m = jnp.full(qarr.shape, jnp.uint64(base), jnp.uint64)
+        a = (qarr.astype(jnp.uint32) + jnp.uint32(salt))
+        m = jnp.full(qarr.shape, jnp.uint32(base), jnp.uint32)
         _, h = jax.lax.associative_scan(comb, (m, a), axis=1)
         return h
 
-    h1 = one(0x100000001B3, 1)               # FNV-ish odd multiplier
-    h2 = one(0x9E3779B97F4A7C15, 5)          # golden-ratio odd multiplier
+    h1 = one(0x01000193, 1)                  # FNV-32 odd multiplier
+    h2 = one(0x9E3779B9, 5)                  # golden-ratio odd multiplier
     return jnp.stack([h1, h2], axis=-1)
 
 
@@ -1227,37 +1303,55 @@ def dedup_pool(pool, ph, CAP_U: int, mh=None):
     representative, n_unique, ovf).
     """
     i32 = jnp.int32
+    u32 = jnp.uint32
     GP = pool.shape[0]
+    L = ph.shape[1]
     valid = pool[:, 6] != 0
     rid = pool[:, 5].astype(i32)
     piv = pool[:, 4].astype(i32)
-    pcol = jnp.clip(piv - 1, 0, ph.shape[1] - 1)
-    hrow = jnp.where(piv > 0, ph[rid, pcol, 0], jnp.uint64(0))
-    hrow2 = jnp.where(piv > 0, ph[rid, pcol, 1], jnp.uint64(0))
+    pcol = jnp.clip(piv - 1, 0, L - 1)
+    # flat 1D u32 gathers: 2D-indexed u64 gathers measured 30 ms each
+    # at pool width on this platform (2026-08-19)
+    pidx = rid * L + pcol
+    phf = ph.reshape(-1, 2)
+    hrow = jnp.where(piv > 0, phf[pidx, 0], u32(0))
+    hrow2 = jnp.where(piv > 0, phf[pidx, 1], u32(0))
+    # sort by ONE avalanched 32-bit mix of the full key — a 5-key int64
+    # lexsort costs tens of ms at pool width — and compare every real
+    # key at the boundaries below: a mix collision only splits a group
+    # (one duplicate walk), never merges one.  mh joins as an exact
+    # compare field (round 2's varying thresholds).
+    keys = [hrow, hrow2, pool[:, 0], pool[:, 2], piv]
     if mh is not None:
-        hrow = hrow ^ (mh.astype(jnp.uint64) *
-                       jnp.uint64(0x9E3779B97F4A7C15))
-    big = jnp.iinfo(jnp.int64).max
-    k_key = jnp.where(valid, pool[:, 0].astype(jnp.int64), big)
-    s_key = jnp.where(valid, pool[:, 2].astype(jnp.int64), big)
-    p_key = jnp.where(valid, piv.astype(jnp.int64), big)
-    h_key = jnp.where(valid, hrow.astype(jnp.int64), big)
-    h2_key = jnp.where(valid, hrow2.astype(jnp.int64), big)
-    order = jnp.lexsort((p_key, s_key, k_key, h2_key, h_key))
-    ks = [h_key[order], k_key[order], s_key[order], p_key[order],
-          h2_key[order]]
+        keys.append(mh)
+    # 32-bit FOLDS feed the sort mix only; the boundary compare uses
+    # the exact native-dtype keys (a fold may not, at int64 scale)
+    mixes = [hrow, hrow2,
+             (pool[:, 0] ^ (pool[:, 0] >> 31)).astype(u32),
+             (pool[:, 2] ^ (pool[:, 2] >> 31)).astype(u32),
+             piv.astype(u32)] + \
+        ([mh.astype(u32)] if mh is not None else [])
+    gh = mixes[0]
+    for i, x in enumerate(mixes[1:]):
+        gh = (gh ^ (x * u32(0x9E3779B9 + 2 * i))) * u32(0x85EBCA6B)
+        gh = gh ^ (gh >> u32(15))
+    # invalid rows sort last: 0x7FFFFFFF is int32-max; a valid mix that
+    # ties with it only splits a group
+    order = jnp.argsort(
+        jnp.where(valid, gh >> u32(1), u32(0x7FFFFFFF))
+        .astype(i32)).astype(i32)
+    ks = [x[order] for x in keys]
     vs = valid[order]
     diff = jnp.concatenate([
         jnp.asarray([True]),
-        (ks[0][1:] != ks[0][:-1]) | (ks[1][1:] != ks[1][:-1]) |
-        (ks[2][1:] != ks[2][:-1]) | (ks[3][1:] != ks[3][:-1]) |
-        (ks[4][1:] != ks[4][:-1])])
+        jnp.stack([x[1:] != x[:-1] for x in ks]).any(axis=0)])
     head = vs & diff
     gidx_sorted = jnp.cumsum(head.astype(i32)) - 1     # group per sortpos
     n_u = jnp.sum(head.astype(i32))
     ovf = n_u > CAP_U
-    order2 = jnp.argsort(~head, stable=True)
-    rep_take = order[order2][:CAP_U]
+    rep_take = jnp.zeros(CAP_U, i32).at[
+        jnp.where(head & (gidx_sorted < CAP_U), gidx_sorted, CAP_U)].set(
+        order, mode="drop")
     rep_pool = pool[rep_take]
     rep_valid = (jnp.arange(CAP_U, dtype=i32) < n_u)
     rep_pool = rep_pool.at[:, 6].set(rep_valid.astype(pool.dtype))
