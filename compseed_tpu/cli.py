@@ -458,6 +458,39 @@ def cmd_merge(argv: list[str]) -> int:
     return 0
 
 
+def cmd_reorder(argv: list[str]) -> int:
+    """Reference-free read reordering — the compressor preprocessing
+    step (SPRING/Minicom/PgRC reorder stage, main.cpp:36-58) built in,
+    so layout-ordered input for `mem` needs no external compressor."""
+    from compseed_tpu.io.fastq import read_fastq_chunks
+    from compseed_tpu.io.reorder import reorder_reads
+    ap = argparse.ArgumentParser(prog="compseed-tpu reorder")
+    ap.add_argument("input", help="FASTQ/FASTA (kopen: file/gz/-/URL)")
+    ap.add_argument("-o", dest="output", default="-",
+                    help="output path (default stdout)")
+    ap.add_argument("-k", type=int, default=21,
+                    help="anchor k-mer length (default 21)")
+    ap.add_argument("-B", dest="block", type=int, default=4_000_000,
+                    help="reads per reordering block (memory bound)")
+    args = ap.parse_args(argv)
+    out = sys.stdout if args.output == "-" else open(args.output, "w")
+    total = 0
+    for chunk in read_fastq_chunks(args.input, args.block * 200):
+        order = reorder_reads([r.seq for r in chunk], k=args.k)
+        for i in order:
+            r = chunk[i]
+            nm = r.name + (" " + r.comment if r.comment else "")
+            if r.qual is None:
+                out.write(f">{nm}\n{r.seq}\n")
+            else:
+                out.write(f"@{nm}\n{r.seq}\n+\n{r.qual}\n")
+        total += len(chunk)
+    if out is not sys.stdout:
+        out.close()
+    print(f"[reorder] {total} reads", file=sys.stderr)
+    return 0
+
+
 def cmd_shm(argv: list[str]) -> int:
     """Stage/drop a shared-memory index copy (bwashm.c semantics)."""
     from compseed_tpu.index import shm as shm_mod
@@ -495,7 +528,7 @@ def main(argv: list[str] | None = None) -> int:
             pass
     argv = sys.argv[1:] if argv is None else argv
     if not argv or argv[0] in ("-h", "--help"):
-        print("usage: compseed-tpu {index,mem,shm,merge} ...",
+        print("usage: compseed-tpu {index,mem,reorder,shm,merge} ...",
               file=sys.stderr)
         return 1
     cmd, rest = argv[0], argv[1:]
@@ -503,6 +536,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_index(rest)
     if cmd == "mem":
         return cmd_mem(rest)
+    if cmd == "reorder":
+        return cmd_reorder(rest)
     if cmd == "shm":
         return cmd_shm(rest)
     if cmd == "merge":

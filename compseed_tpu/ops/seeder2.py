@@ -113,13 +113,20 @@ def _bucket(x: int, lo: int) -> int:
 class DeviceSeeder:
     """run_flat-compatible seeder backed by the v2 device pipeline."""
 
-    # caps as multiples of R
-    GP_F = 48          # round-1 LEP pool
-    T2_F = 8           # round-2 tasks
-    GP2_F = 16         # round-2 LEP pool
-    MEM_F = 16         # merged matches
-    SEED_F = 16        # sampled seeds
-    U_F = 8            # unique SAL requests
+    # caps as multiples of R (every downstream op runs at the STATIC
+    # cap width, so oversizing is pure waste: sorts/gathers at 48R cost
+    # 2x those at 24R.  Overflow paths exist for every cap, so these
+    # are sized to measured bench volumes + headroom, env-overridable
+    # for sweeps.)
+    # measured on the honest 30x bench at 16k chunk (2026-08-19):
+    # n_pool=23.2R, n_u=16.8R, n2=13.3R, mems=seeds=5.7R, sal_uniq=3.5R
+    GP_F = int(os.environ.get("COMPSEED_GP_F", "36"))    # round-1 pool
+    CAPU_F = int(os.environ.get("COMPSEED_CAPU_F", "24"))  # bwd-dedup reps
+    T2_F = int(os.environ.get("COMPSEED_T2_F", "8"))     # round-2 tasks
+    GP2_F = int(os.environ.get("COMPSEED_GP2_F", "16"))  # round-2 pool
+    MEM_F = int(os.environ.get("COMPSEED_MEM_F", "8"))   # merged matches
+    SEED_F = int(os.environ.get("COMPSEED_SEED_F", "8"))  # sampled seeds
+    U_F = int(os.environ.get("COMPSEED_U_F", "6"))       # unique SAL
 
     def __init__(self, opt, fm, dfi: DeviceFMIndex | None = None,
                  dedup: bool = False):
@@ -174,9 +181,9 @@ class DeviceSeeder:
         UCAP = self.U_F * R
         MAXW = L + 2
         split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
-        stages1 = [(GP, 4), (GP // 2, 16), (GP // 8, 48),
+        stages1 = [(GP, 8), (GP // 2, 16), (GP // 8, 48),
                    (GP // 16, MAXW)]
-        stages2 = [(GP2, 6), (GP2 // 2, 24), (GP2 // 8, MAXW)]
+        stages2 = [(GP2, 8), (GP2 // 2, 24), (GP2 // 8, MAXW)]
 
         # the index is a CALL-TIME argument to every jitted program so
         # its multi-GB arrays are runtime operands, not captured
@@ -189,12 +196,15 @@ class DeviceSeeder:
                 fm_, L, opt.min_seed_len, int(opt.max_mem_intv), q, act),
             in_axes=(None, 0, 0))
 
-        CAP_U = GP // 2
-        stages_u = [(CAP_U, 4), (CAP_U // 2, 10), (CAP_U // 4, 28),
+        CAP_U = min(self.CAPU_F * R, GP)
+        stages_u = [(CAP_U, 8), (CAP_U // 2, 16), (CAP_U // 4, 32),
                     (CAP_U // 8, 72), (CAP_U // 16, MAXW)]
         use_dedup = self.dedup
-        CAP_U2 = GP2 // 2
-        stages_u2 = [(CAP_U2, 6), (CAP_U2 // 2, 24), (CAP_U2 // 4, MAXW)]
+        # 3/4 of the pool (GP2//2 self-disabled on the representative
+        # 30x input, ab6137f); env knob for the checkin sweep
+        CAP_U2 = int(os.environ.get("COMPSEED_CAPU2_F", "12")) * R
+        CAP_U2 = min(CAP_U2, GP2)
+        stages_u2 = [(CAP_U2, 8), (CAP_U2 // 2, 24), (CAP_U2 // 4, MAXW)]
         r2_dedup = self.r2_dedup
 
         fwd_stages = ss.fwd_stages_for(R, L)
@@ -314,11 +324,13 @@ class DeviceSeeder:
                     t_valid & (sovf2 != 0))           # per read
             # pool2 col 5 is the task index (the scan's "read id" was the
             # task lane); remap to the real read id for the walks' q-row
-            # lookup, and append the task index as the grouping column
+            # lookup, and append the task index as the grouping column.
+            # One concat build: `.at[:, 5].set` is a 2D column scatter
+            # that measured ~50 ms at this width.
             tix = pool2[:, 5].astype(i32)
-            pool2 = pool2.at[:, 5].set(t_rid[tix].astype(dt))
-            pool2 = jnp.concatenate([pool2, tix[:, None].astype(dt)],
-                                    axis=1)
+            pool2 = jnp.concatenate(
+                [pool2[:, :5], t_rid[tix][:, None].astype(dt),
+                 pool2[:, 6:7], tix[:, None].astype(dt)], axis=1)
             povf2 = jnp.asarray(False)
             # Round-2 walk dedup is gated by COMPSEED_R2_DEDUP=1 (the
             # round-1 "pathological compile" was the dying tunnel — CPU

@@ -197,16 +197,23 @@ def walk_stage(fm: DeviceFMIndex, qflat, L: int, max_steps: int, state):
         st["i"] = jnp.where(survive, i - 1, i)
         return t + 1, st
 
-    # segmented loop: the while condition's any() reduction costs ~50 ms
-    # of launch overhead per iteration on this platform, so check it only
-    # every SEG masked steps
-    SEG = 8
+    # segmented loop: check the alive-reduction every SEG steps (the
+    # in-program any() is cheap — round 2's "~50 ms" was a tunnel-sync
+    # measurement artifact — but segmenting still amortizes loop
+    # carries).  The inner trip count is clamped so a stage walks
+    # EXACTLY max_steps: the old fixed-SEG version overshot (a 10-step
+    # stage ran 16 at full lane width).
+    SEG = min(8, max_steps)
 
     def seg_body(carry):
-        t, st = carry
+        t0, st = carry
         def inner(_, c):
             return body(c)
-        return jax.lax.fori_loop(0, SEG, inner, (t, st))
+        return jax.lax.fori_loop(
+            jnp.asarray(0, i32),
+            jnp.minimum(jnp.asarray(SEG, i32),
+                        jnp.asarray(max_steps, i32) - t0),
+            inner, (t0, st))
 
     def cond(carry):
         t, st = carry
@@ -833,8 +840,11 @@ def forward_scan_dedup(fm: DeviceFMIndex, qarr, rlens, GP: int,
             pool_c[4].astype(kdt)) * EB + pool_c[3].astype(kdt)
     forder = jnp.argsort(
         jnp.where(pvalid, okey, jnp.iinfo(kdt).max)).astype(i32)
-    pool = jnp.stack(list(pool_c) + [pvalid.astype(dt)],
-                     axis=1)[forder]
+    # permute by scatter (see chain_scan epilogue)
+    rankp = jnp.zeros(GP, i32).at[forder].set(jnp.arange(GP, dtype=i32))
+    pool = jnp.stack(
+        [jnp.zeros(GP, dt).at[rankp].set(c) for c in
+         list(pool_c) + [pvalid.astype(dt)]], axis=1)
     return pool, cursor, ovf, fq, fc
 
 
@@ -865,8 +875,10 @@ def make_chain_memo(H: int, M: int, W: int, dt):
     near-free, and 64-bit multiplies are emulated): at W <= 10 the
     window content packs EXACTLY into one uint32 (3 bits per code,
     codes 0..4), so the key needs no 128-bit rolling hash at all —
-    matching is exact, not probabilistic — and the (M, W) chain stores
-    are flattened to (M*W,) so inserts are 1D scatters."""
+    matching is exact, not probabilistic.  The chain stores stay (M, W)
+    2D: the hot side is the consumer ROW gather (133k rows of W read
+    ~free where the flat 1D form costs 7 ms), while the insert is a
+    small U-row scatter."""
     zed = jnp.zeros
     assert H & (H - 1) == 0, "H must be a power of two"
     assert 3 * W <= 32, "chain window must pack into uint32 (W <= 10)"
@@ -875,7 +887,7 @@ def make_chain_memo(H: int, M: int, W: int, dt):
         tl0=zed(H, dt), ts0=zed(H, dt), tk0=zed(H, dt),
         tln=zed(H, jnp.int32), tp=zed(H, jnp.int32),
         tv=zed(H, jnp.bool_),
-        ck=zed(M * W, dt), cl=zed(M * W, dt), cs=zed(M * W, dt),
+        ck=zed((M, W), dt), cl=zed((M, W), dt), cs=zed((M, W), dt),
         cur=jnp.asarray(0, jnp.int32),
     )
 
@@ -989,7 +1001,7 @@ def chain_scan(fm: DeviceFMIndex, qarr, rlens, GP: int, memo: dict,
     U = u_cap if u_cap is not None else max(n_lanes // 2, 64)
     U = min(U, n_lanes)
     H = memo["tw"].shape[0]
-    M = memo["ck"].shape[0] // W
+    M = memo["ck"].shape[0]
     RCAP = 3 * L + 16
 
     qflat = qarr.reshape(-1)
@@ -1108,10 +1120,9 @@ def chain_scan(fm: DeviceFMIndex, qarr, rlens, GP: int, memo: dict,
         keep = first & can
         tslot = jnp.where(keep, rslot, H)
         cidx = jnp.where(can, cptr, M)
-        fidx = (cidx[:, None] * W + jj).reshape(-1)
-        st["ck"] = st["ck"].at[fidx].set(ck.reshape(-1), mode="drop")
-        st["cl"] = st["cl"].at[fidx].set(cl.reshape(-1), mode="drop")
-        st["cs"] = st["cs"].at[fidx].set(cs.reshape(-1), mode="drop")
+        st["ck"] = st["ck"].at[cidx].set(ck, mode="drop")
+        st["cl"] = st["cl"].at[cidx].set(cl, mode="drop")
+        st["cs"] = st["cs"].at[cidx].set(cs, mode="drop")
         st["tw"] = st["tw"].at[tslot].set(wv[rep_take], mode="drop")
         st["tl0"] = st["tl0"].at[tslot].set(l[rep_take], mode="drop")
         st["ts0"] = st["ts0"].at[tslot].set(s[rep_take], mode="drop")
@@ -1126,8 +1137,7 @@ def chain_scan(fm: DeviceFMIndex, qarr, rlens, GP: int, memo: dict,
         applied = hit | memb
 
         def pick(tab, wbuf):
-            return jnp.where(hit[:, None], tab[ptr[:, None] * W + jj],
-                             wbuf[group])
+            return jnp.where(hit[:, None], tab[ptr], wbuf[group])
 
         src_k0 = jnp.where(hit, hk0, k[rep_take][group])
         src_ln = jnp.where(hit, hln, ln[group])
@@ -1250,9 +1260,14 @@ def chain_scan(fm: DeviceFMIndex, qarr, rlens, GP: int, memo: dict,
             st["pool_p"].astype(kdt)) * EB + st["pool_e"].astype(kdt)
     forder = jnp.argsort(
         jnp.where(pvalid, okey, jnp.iinfo(kdt).max)).astype(i32)
-    pool = jnp.stack([
-        st["pool_k"], st["pool_l"], st["pool_s"], st["pool_e"],
-        st["pool_p"], st["pool_r"], pvalid.astype(dt)], axis=1)[forder]
+    # permute by SCATTER through the inverse permutation: a (GP, 7)
+    # row gather costs ~83 ms at 786k on this platform where 1D
+    # column scatters are <1 ms each
+    rankp = jnp.zeros(GP, i32).at[forder].set(jnp.arange(GP, dtype=i32))
+    pool = jnp.stack(
+        [jnp.zeros(GP, dt).at[rankp].set(c) for c in
+         (st["pool_k"], st["pool_l"], st["pool_s"], st["pool_e"],
+          st["pool_p"], st["pool_r"], pvalid.astype(dt))], axis=1)
     memo_out = {kk: st[kk] for kk in MEMO_KEYS}
     if report_rounds:
         return (pool, st["cursor"], ovf, st["fq"], st["fc"], memo_out,

@@ -116,9 +116,9 @@ def main():
 
     # ---------------- r1 sub-phases (mirrors j_round1 memo mode) ----
     GP = seeder.GP_F * Rb
-    CAP_U = GP // 2
+    CAP_U = min(seeder.CAPU_F * Rb, GP)
     MAXW = Lb + 2
-    stages_u = [(CAP_U, 4), (CAP_U // 2, 10), (CAP_U // 4, 28),
+    stages_u = [(CAP_U, 8), (CAP_U // 2, 16), (CAP_U // 4, 32),
                 (CAP_U // 8, 72), (CAP_U // 16, MAXW)]
     CW = seeder.chain_w
     MEMO_M = (256 // CW) * Rb
