@@ -35,6 +35,8 @@ from __future__ import annotations
 
 from functools import partial
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -162,8 +164,13 @@ def make_scan(fm: DeviceFMIndex, L: int, capl: int, advance: bool):
 # backward walks (dense worklist, staged compaction)
 # ----------------------------------------------------------------------
 
-def walk_stage(fm: DeviceFMIndex, qflat, L: int, max_steps: int, state):
-    """Advance every live item by up to max_steps backward extensions.
+def walk_stage(fm: DeviceFMIndex, qflat, L: int, max_steps: int, state,
+               t0=None, fit: int = 0):
+    """Advance every live item by backward extensions until all are
+    dead, max_steps total (across stages — t0 carries in), or — when
+    ``fit`` > 0 — the live count fits a ``fit``-wide continuation (the
+    caller then compacts and runs a narrower twin; walks per lane are
+    deterministic, so segmentation is bit-exact).
 
     state: dict of arrays over M lanes:
       k, l, s (dt); rid, i, death (i32); mh (dt, min_hits);
@@ -197,31 +204,32 @@ def walk_stage(fm: DeviceFMIndex, qflat, L: int, max_steps: int, state):
         st["i"] = jnp.where(survive, i - 1, i)
         return t + 1, st
 
-    # segmented loop: check the alive-reduction every SEG steps (the
-    # in-program any() is cheap — round 2's "~50 ms" was a tunnel-sync
-    # measurement artifact — but segmenting still amortizes loop
-    # carries).  The inner trip count is clamped so a stage walks
-    # EXACTLY max_steps: the old fixed-SEG version overshot (a 10-step
-    # stage ran 16 at full lane width).
-    SEG = min(8, max_steps)
+    # segmented loop: check the alive/fit reduction every SEG steps
+    # (the in-program any() is cheap — round 2's "~50 ms" was a
+    # tunnel-sync artifact — but segmenting amortizes loop carries).
+    # The inner trip count is clamped so the walk never exceeds
+    # max_steps (the old fixed-SEG version overshot).
+    SEG = max(1, min(8, max_steps))
 
     def seg_body(carry):
-        t0, st = carry
+        t0_, st = carry
         def inner(_, c):
             return body(c)
         return jax.lax.fori_loop(
             jnp.asarray(0, i32),
             jnp.minimum(jnp.asarray(SEG, i32),
-                        jnp.asarray(max_steps, i32) - t0),
-            inner, (t0, st))
+                        jnp.asarray(max_steps, i32) - t0_),
+            inner, (t0_, st))
 
     def cond(carry):
         t, st = carry
-        return (t < max_steps) & jnp.any(st["alive"])
+        return (t < max_steps) & \
+            (jnp.sum(st["alive"], dtype=i32) > jnp.asarray(fit, i32))
 
-    _, st = jax.lax.while_loop(cond, seg_body,
-                               (jnp.asarray(0, i32), state))
-    return st
+    if t0 is None:
+        t0 = jnp.asarray(0, i32)
+    t_out, st = jax.lax.while_loop(cond, seg_body, (t0, state))
+    return st, t_out
 
 
 def compact_state(state, new_size: int):
@@ -300,7 +308,12 @@ def walk_pool(fm: DeviceFMIndex, qflat, L: int, pool, stages, mh=None):
 
     pool: (GP, 7) as from build_pool; rows with pivot == 0 die on their
     first step (i0 == -1) which reproduces the pivot==0 fast path.
-    stages: list of (lane_cap, max_steps); lane caps decrease.
+    stages: list of (lane_cap, max_steps); lane caps decrease.  Stage
+    TRANSITIONS are adaptive: each stage walks until the live count
+    fits the next cap (or everyone is dead / the global step budget is
+    spent), so compaction can never overflow and no stage runs fixed
+    extra steps at a stale width.  Walks per lane are deterministic, so
+    the results are identical to the unstaged walk.
     mh: per-row min_hits (GP,) — 1 (round 1) if omitted.
     Returns (death (GP,) i32, fk, fl, fs (GP,) dt, ovf).
     """
@@ -326,12 +339,16 @@ def walk_pool(fm: DeviceFMIndex, qflat, L: int, pool, stages, mh=None):
     fl = pool[:, 1]
     fs = pool[:, 2]
     ovf = jnp.asarray(False)
+    budget = L + 2                      # a walk can't outlive its pivot
+    t = jnp.asarray(0, i32)
 
-    for idx, (cap, steps) in enumerate(stages):
+    caps = [cap for cap, _ in stages]
+    for idx, cap in enumerate(caps):
         if idx > 0:
             state, o = compact_state(state, cap)
-            ovf = ovf | o
-        state = walk_stage(fm, qflat, L, steps, state)
+            ovf = ovf | o               # never fires: exit is fit-gated
+        fit = caps[idx + 1] if idx + 1 < len(caps) else 0
+        state, t = walk_stage(fm, qflat, L, budget, state, t0=t, fit=fit)
         finished = (~state["alive"]) & (state["slot"] >= 0)
         sl = jnp.where(finished, state["slot"], GP)
         death = death.at[sl].set(
@@ -962,6 +979,14 @@ def _chain_walk(fm: DeviceFMIndex, qflat, L: int, W: int,
     return out[5], out[6], out[7], out[3]
 
 
+def _chain_seg_divs() -> tuple[int, ...]:
+    """Lane-width divisors for chain_scan's segmented loop (each
+    continuation is n_lanes/d wide).  Env-tunable for the checkin
+    sweep; "" disables segmentation."""
+    v = os.environ.get("COMPSEED_CHAIN_SEGS", "4,16")
+    return tuple(int(x) for x in v.split(",") if x)
+
+
 def chain_scan(fm: DeviceFMIndex, qarr, rlens, GP: int, memo: dict,
                min_hits=None, pivots0=None, rids=None,
                advance: bool = True, mode: str = "lep",
@@ -992,6 +1017,16 @@ def chain_scan(fm: DeviceFMIndex, qarr, rlens, GP: int, memo: dict,
     structure — pivot respawns, LEP pushes sorted (rid, pivot, end) —
     is reconstructed lane-side, identically to make_scan.
 
+    Every round runs at the segment's STATIC lane width, so the loop is
+    SEGMENTED: it exits as soon as the alive count fits a 4x narrower
+    continuation, live lanes are stably compacted (rank scatter), and a
+    narrower twin loop continues.  Lanes are only re-indexed — the
+    grouping sort's stable tie-break preserves relative order — so the
+    pool content, order, stats and memo trajectory are all bit-exact
+    vs the unsegmented loop; tail rounds (and round-2's sparse task
+    occupancy, which exits segment 1 at round 0) just stop paying full
+    width.
+
     Returns (pool (GP, 7), n_rows, ovf, fq, fc, memo').
     """
     dt = fm.dtype
@@ -1008,24 +1043,24 @@ def chain_scan(fm: DeviceFMIndex, qarr, rlens, GP: int, memo: dict,
     rlens = rlens.astype(i32)
     winflat = packed_windows(qarr, W)
     nxt = next_nonamb(qarr)
-    lane_rid = jnp.arange(R, dtype=i32) if rids is None \
+    lane_rid0 = jnp.arange(R, dtype=i32) if rids is None \
         else rids.astype(i32)
-    lane_rlen = rlens[lane_rid]
-    mh = jnp.ones(n_lanes, dt) if min_hits is None \
+    lane_rlen0 = rlens[lane_rid0]
+    mh0 = jnp.ones(n_lanes, dt) if min_hits is None \
         else jnp.maximum(min_hits.astype(dt), 1)
-    row_id = jnp.arange(n_lanes, dtype=i32) if record_lane_index \
-        else lane_rid
+    row_id0 = jnp.arange(n_lanes, dtype=i32) if record_lane_index \
+        else lane_rid0
 
     p0 = jnp.zeros(n_lanes, i32) if pivots0 is None \
         else pivots0.astype(i32)
-    pivot = nxt[lane_rid, jnp.clip(p0, 0, L - 1)]
-    alive = (pivot < lane_rlen) & (lane_rlen > 0)
+    pivot = nxt[lane_rid0, jnp.clip(p0, 0, L - 1)]
+    alive = (pivot < lane_rlen0) & (lane_rlen0 > 0)
     if pivots0 is not None:
-        alive = alive & (p0 < lane_rlen)
+        alive = alive & (p0 < lane_rlen0)
     if active is not None:
         alive = alive & active
 
-    base0 = qflat[jnp.clip(lane_rid * L + pivot, 0, qflat.shape[0] - 1)]
+    base0 = qflat[jnp.clip(lane_rid0 * L + pivot, 0, qflat.shape[0] - 1)]
     ik0 = _set_intv(fm, jnp.clip(base0.astype(i32), 0, 3)).T
     big = jnp.iinfo(jnp.int64).max
     jj = jnp.arange(W, dtype=i32)[None, :]
@@ -1033,9 +1068,12 @@ def chain_scan(fm: DeviceFMIndex, qarr, rlens, GP: int, memo: dict,
     # the pool is carried as six 1D columns (k,l,s,end,pivot,rid):
     # column scatters are ~free where the old (GP, 7) row scatter cost
     # ~11 ms per round; validity is synthesized from the cursor at the
-    # end (pushes fill slots 0..cursor-1 contiguously)
+    # end (pushes fill slots 0..cursor-1 contiguously).  lane0 maps a
+    # (possibly compacted) lane to its original index; the per-lane
+    # constants are gathered through it at the top of each round.
     st0 = dict(memo)
     st0.update(
+        lane0=jnp.arange(n_lanes, dtype=i32),
         pivot=pivot, pos=pivot + 1, alive=alive,
         k=jnp.where(alive, ik0[:, 0], 0), l=jnp.where(alive, ik0[:, 1], 0),
         s=jnp.where(alive, ik0[:, 2], 0),
@@ -1047,7 +1085,13 @@ def chain_scan(fm: DeviceFMIndex, qarr, rlens, GP: int, memo: dict,
         fq=jnp.asarray(0, i32), fc=jnp.asarray(0, i32),
         rnd=jnp.asarray(0, i32))
 
-    def body(st):
+    def make_body(w: int, Uw: int):
+      def body(st):
+        lane0 = st["lane0"]
+        lane_rid = lane_rid0[lane0]
+        lane_rlen = lane_rlen0[lane0]
+        mh = mh0[lane0]
+        row_id = row_id0[lane0]
         pivot, pos, lalive = st["pivot"], st["pos"], st["alive"]
         k, l, s = st["k"], st["l"], st["s"]
         pc = jnp.clip(pos, 0, L + 1)
@@ -1085,16 +1129,16 @@ def chain_scan(fm: DeviceFMIndex, qarr, rlens, GP: int, memo: dict,
         n_u = jnp.sum(head, dtype=i32)
         # compact the group heads' lane indices to the first U rep rows
         # (cumsum rank + 1D scatter; replaces a stable argsort)
-        rep_take = jnp.zeros(U, i32).at[
-            jnp.where(head & (gidx_sorted < U), gidx_sorted, U)].set(
+        rep_take = jnp.zeros(Uw, i32).at[
+            jnp.where(head & (gidx_sorted < Uw), gidx_sorted, Uw)].set(
             order, mode="drop")
-        sortpos = jnp.zeros(n_lanes, i32).at[order].set(
-            jnp.arange(n_lanes, dtype=i32))
-        group = jnp.clip(gidx_sorted[sortpos], 0, U - 1)
-        walked = miss & (gidx_sorted[sortpos] < jnp.minimum(n_u, U))
+        sortpos = jnp.zeros(w, i32).at[order].set(
+            jnp.arange(w, dtype=i32))
+        group = jnp.clip(gidx_sorted[sortpos], 0, Uw - 1)
+        walked = miss & (gidx_sorted[sortpos] < jnp.minimum(n_u, Uw))
 
         # ---- representatives walk one chain each
-        rep_valid = (jnp.arange(U, dtype=i32) < jnp.minimum(n_u, U)) & \
+        rep_valid = (jnp.arange(Uw, dtype=i32) < jnp.minimum(n_u, Uw)) & \
             miss[rep_take]
         ck, cl, cs, ln = _chain_walk(
             fm, qflat, L, W, k[rep_take], l[rep_take], s[rep_take],
@@ -1189,10 +1233,10 @@ def chain_scan(fm: DeviceFMIndex, qarr, rlens, GP: int, memo: dict,
         st["pool_e"] = st["pool_e"].at[pslot].set(
             recE.reshape(-1).astype(dt), mode="drop")
         st["pool_p"] = st["pool_p"].at[pslot].set(
-            jnp.broadcast_to(pivot[:, None], (n_lanes, W))
+            jnp.broadcast_to(pivot[:, None], (w, W))
             .reshape(-1).astype(dt), mode="drop")
         st["pool_r"] = st["pool_r"].at[pslot].set(
-            jnp.broadcast_to(row_id[:, None], (n_lanes, W))
+            jnp.broadcast_to(row_id[:, None], (w, W))
             .reshape(-1).astype(dt), mode="drop")
         st["cursor"] = st["cursor"] + jnp.sum(pflat, dtype=i32)
         st["povf"] = st["povf"] | (st["cursor"] > GP)
@@ -1228,25 +1272,55 @@ def chain_scan(fm: DeviceFMIndex, qarr, rlens, GP: int, memo: dict,
         st["alive"] = jnp.where(applied, respawn | through, lalive)
         st["rnd"] = st["rnd"] + 1
         return st
-
-    def cond(st):
-        return jnp.any(st["alive"]) & (st["rnd"] < RCAP)
+      return body
 
     if report_rounds:
         # profiling diagnostic: per-round alive counts (RCAP-padded)
         st0["alive_hist"] = jnp.zeros(RCAP, jnp.int32)
-        inner_body = body
 
-        def body(st):  # noqa: F811 — instrumented wrapper
+    def instrument(body_fn):
+        def body(st):
             st = dict(st)
             hist = st.pop("alive_hist")
             rnd = st["rnd"]
             hist = hist.at[rnd].set(jnp.sum(st["alive"], dtype=jnp.int32))
-            st = inner_body(st)
+            st = body_fn(st)
             st["alive_hist"] = hist
             return st
+        return body
 
-    st = jax.lax.while_loop(cond, body, st0)
+    # segment widths: each continuation is 4x narrower, entered once
+    # the alive count fits (bit-exact: lanes are only re-indexed)
+    segs = [n_lanes]
+    for d in _chain_seg_divs():
+        w2 = max(n_lanes // d, 256)
+        if w2 < segs[-1]:
+            segs.append(w2)
+
+    lane_keys = ("lane0", "pivot", "pos", "k", "l", "s")
+    st = st0
+    for i, w in enumerate(segs):
+        nxtw = segs[i + 1] if i + 1 < len(segs) else 0
+        body_w = make_body(w, min(U, w))
+        if report_rounds:
+            body_w = instrument(body_w)
+
+        def cond(st, nxtw=nxtw):
+            return (st["rnd"] < RCAP) & \
+                (jnp.sum(st["alive"], dtype=i32) > nxtw)
+
+        st = jax.lax.while_loop(cond, body_w, st)
+        if nxtw:
+            # stable rank-scatter compaction of the live lanes
+            lalive = st["alive"]
+            crank = jnp.cumsum(lalive, dtype=i32) - 1
+            tgt = jnp.where(lalive, crank, nxtw)
+            st = dict(st)
+            for kk in lane_keys:
+                st[kk] = jnp.zeros(nxtw, st[kk].dtype).at[tgt].set(
+                    st[kk], mode="drop")
+            st["alive"] = jnp.zeros(nxtw, jnp.bool_).at[tgt].set(
+                lalive, mode="drop")
     ovf = st["povf"] | jnp.any(st["alive"])
 
     # pushes fill slots 0..cursor-1 contiguously, so validity is a

@@ -1,13 +1,13 @@
 #!/bin/bash
-# One-shot measurement pass for when the axon TPU tunnel is back:
-#   1. seeding microprofile (gather rates, per-phase jit timings)
-#   2. end-to-end bench, 3-run averaged JSON with hit/merge stats
-#   3. A/B sweeps of the opt-in perf paths built while the tunnel was
-#      down (round 2): Pallas DMA occ gather, round-2 dedup, and the
-#      seeding-only chunk-size scaling curve.
+# One-shot measurement pass on the axon TPU:
+#   1. end-to-end bench (the judged number) with tail profile
+#   2. honest per-phase seeding profile (queue-N timing)
+#   3. A/B sweeps of the opt-in paths + cap/chunk sizing curves
+#   4. hg19-scale on-device alignment (needs /root/hg19_work/mine.*)
 # Run from the repo root:  bash scripts/tpu_checkin.sh
 # The .jax_cache persistent compile cache makes warm reruns fast; do
-# NOT delete it.  Expect long cold compiles on the first pass.
+# NOT delete it.  Expect long cold compiles on the first pass — every
+# env-flag variant is a fresh XLA program on this 1-CPU host.
 set -u
 cd "$(dirname "$0")/.."
 echo "== devices =="
@@ -17,24 +17,21 @@ timeout 300 python -c "import jax; print(jax.devices())" || {
 # want it captured before the (hours of) A/B sweeps below
 echo "== bench (default config) =="
 timeout 5400 python bench.py | tee /tmp/bench_checkin.json
-echo "== seeding profile (default config) =="
-timeout 3600 python scripts/profile_seeding.py 2>&1 | tail -40
+echo "== seeding phase profile (default config) =="
+timeout 3600 python scripts/profile_phases.py 16384 --sub 2>&1 | tail -24
 
-echo "== A/B: round-2 dedup =="
+echo "== A/B: round-2 dedup (CAPU2_F=12 default) =="
 COMPSEED_R2_DEDUP=1 timeout 3600 \
-  python scripts/profile_seeding.py 2>&1 | tail -12
-echo "== A/B: forward dedup off (isolate its cost/benefit) =="
-COMPSEED_FWD_DEDUP=0 timeout 3600 \
-  python scripts/profile_seeding.py 2>&1 | tail -12
+  python scripts/profile_phases.py 2>&1 | grep -E "TOTAL|volumes|r2"
+echo "== A/B: staged forward dedup (old engine) =="
+COMPSEED_FWD_MEMO=0 timeout 4800 python scripts/profile_phases.py \
+  2>&1 | grep -E "TOTAL|volumes"
 echo "== A/B: chain width (savings vs round overhead) =="
-for CW in 4 6 8 12; do
+for CW in 6 8 10; do
   echo "-- W=$CW"
-  COMPSEED_CHAIN_W=$CW timeout 3600 python scripts/profile_seeding.py \
+  COMPSEED_CHAIN_W=$CW timeout 3600 python scripts/profile_phases.py \
     2>&1 | grep -E "TOTAL|volumes"
 done
-echo "== A/B: staged forward dedup (old engine) =="
-COMPSEED_FWD_MEMO=0 timeout 3600 python scripts/profile_seeding.py \
-  2>&1 | tail -12
 echo "== A/B: BSW int16 DP state (Mosaic lowering smoke + bench) =="
 timeout 900 python - <<'EOF'
 import numpy as np, jax.numpy as jnp
@@ -59,9 +56,14 @@ print("int16 lowering OK; outputs equal:", np.array_equal(a[False], a[True]))
 EOF
 COMPSEED_BSW_I16=1 timeout 5400 python bench.py
 echo "== chunk-size scaling (seeding-only reads/s) =="
-for C in 4096 16384 32768; do
+for C in 16384 32768 65536; do
   echo "-- chunk $C"
-  timeout 3600 python scripts/profile_seeding.py "$C" 2>&1 | \
+  timeout 4800 python scripts/profile_phases.py "$C" 2>&1 | \
     grep -E "TOTAL|volumes"
 done
-echo "== checkin complete: paste the numbers into the round memory note =="
+echo "== cap headroom sweep (GP_F tighter) =="
+COMPSEED_GP_F=28 timeout 3600 python scripts/profile_phases.py 2>&1 | \
+  grep -E "TOTAL|volumes"
+echo "== hg19-scale device alignment =="
+timeout 7200 python scripts/hg19_align.py 2>&1 | tail -8
+echo "== checkin complete: paste the numbers into CLAUDE.md + memory =="
