@@ -47,7 +47,8 @@ import numpy as np
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cache")
 GENOME_LEN = 2_000_000
-N_READS = 32768
+_CHUNK = int(os.environ.get("COMPSEED_BENCH_CHUNK", "16384"))
+N_READS = max(32768, 2 * _CHUNK)
 READ_LEN = 101
 COVERAGE = 30.0
 BASELINE_READS_PER_S = 61_300.0
@@ -175,7 +176,7 @@ def main() -> None:
             for i in range(len(arr))]
 
     # warmup (compiles); cover BOTH timed chunks' shape buckets
-    CHUNK = 16384
+    CHUNK = _CHUNK
     for s0 in (0, CHUNK):
         warm = mk_reads(reads_arr[s0: s0 + CHUNK], s0)
         align_chunk(opt, fm, warm, s0, engine=engine, seeder=seeder,

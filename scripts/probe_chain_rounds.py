@@ -48,8 +48,8 @@ def main():
     Lb = _round_up(101 + 1, 32)
     qa = np.full((Rb, Lb), 4, np.uint8)
     rl = np.zeros(Rb, np.int32)
-    for i in range(min(CHUNK, len(reads_arr))):
-        q = reads_arr[i]
+    for i in range(min(CHUNK, Rb)):
+        q = reads_arr[i % len(reads_arr)]
         qa[i, :len(q)] = q
         rl[i] = len(q)
     qd, rd = jnp.asarray(qa), jnp.asarray(rl)

@@ -75,8 +75,8 @@ def main():
     Lb = _round_up(101 + 1, 32)
     qa = np.full((Rb, Lb), 4, np.uint8)
     rl = np.zeros(Rb, np.int32)
-    for i in range(min(R, len(reads_arr))):
-        q = reads_arr[i]
+    for i in range(R):
+        q = reads_arr[i % len(reads_arr)]   # cycle when R > simulated
         qa[i, :len(q)] = q
         rl[i] = len(q)
     fns = seeder._build(Rb, Lb)
