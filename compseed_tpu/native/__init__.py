@@ -69,9 +69,14 @@ def build_library(force: bool = False) -> str:
     src_mtime = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC_SAIS))
     if force or not os.path.exists(_SO) or \
             os.path.getmtime(_SO) < src_mtime:
+        # compile to a temp path then atomically rename: another live
+        # process may have the old .so mmapped, and `g++ -o` truncates
+        # in place (SIGBUS for that process); rename keeps its inode
+        tmp = f"{_SO}.tmp.{os.getpid()}"
         cmd = ["g++", "-O2", "-fPIC", "-shared", "-std=c++17", "-pthread",
-               "-o", _SO, _SRC, _SRC_SAIS]
+               "-o", tmp, _SRC, _SRC_SAIS]
         subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, _SO)
     return _SO
 
 
@@ -117,6 +122,10 @@ def _load():
     lib.cs_sam_len.argtypes = [ct.c_void_p, ct.c_int32]
     lib.cs_sam_copy.restype = None
     lib.cs_sam_copy.argtypes = [ct.c_void_p, ct.c_int32, ct.c_char_p]
+    lib.cs_sam_total.restype = ct.c_int64
+    lib.cs_sam_total.argtypes = [ct.c_void_p, i64p]
+    lib.cs_sam_copy_all.restype = None
+    lib.cs_sam_copy_all.argtypes = [ct.c_void_p, ct.c_char_p]
     lib.cs_batch_destroy.restype = None
     lib.cs_batch_destroy.argtypes = [ct.c_void_p]
     lib.cs_sais_u8.restype = ct.c_int
@@ -313,14 +322,17 @@ class NativeTail:
                                 com_buf, coff_p,
                                 rg_id.encode() if rg_id else None)
             _t = _tick("finalize", _t)
-            out = []
+            # one bulk copy instead of 2 ctypes calls per read
+            # (32k calls/chunk was ~50 ms of pure call overhead);
             # latin-1 round-trips any byte: a corrupt record must surface
             # as a diagnosable SAM line, not a UnicodeDecodeError here
-            for r in range(R):
-                ln = lib.cs_sam_len(h, r)
-                buf = ct.create_string_buffer(int(ln))
-                lib.cs_sam_copy(h, r, buf)
-                out.append(buf.raw.decode("latin-1"))
+            off = np.zeros(R + 1, dtype=np.int64)
+            total = lib.cs_sam_total(h, _ptr(off, ct.c_int64))
+            buf = ct.create_string_buffer(max(int(total), 1))
+            lib.cs_sam_copy_all(h, buf)
+            raw = buf.raw
+            out = [raw[off[r]: off[r + 1]].decode("latin-1")
+                   for r in range(R)]
             _tick("sam_copy", _t)
             return out
         finally:

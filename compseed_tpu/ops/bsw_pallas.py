@@ -159,12 +159,12 @@ def _kernel(o_del, e_del, o_ins, e_ins, zdrop, Q, T, sdt,
 
         h_new = jnp.maximum(jnp.maximum(M, e), f)
 
-        # row max and its LAST attaining column (ksw.c:437-438)
-        h_band = jnp.where(inb, h_new, _s(0))
+        # row max and its LAST attaining column (ksw.c:437-438);
+        # reduce in int32 — Mosaic has no int16 reductions
+        h_band = jnp.where(inb, h_new, _s(0)).astype(i32)
         m = jnp.max(h_band, axis=1, keepdims=True)
         mj = jnp.max(jnp.where((h_band == m) & inb, col, _c(-1)), axis=1,
                      keepdims=True)
-        m = m.astype(i32)
         mj = jnp.where(m == _c(0), _c(-1), mj)
 
         # state update (width Q; entry `end` of the eh layout is virtual)
@@ -179,8 +179,9 @@ def _kernel(o_del, e_del, o_ins, e_ins, zdrop, Q, T, sdt,
         # to-query-end score (ksw.c:450-453)
         h1_last = jnp.where(
             empty, h_first,
-            jnp.max(jnp.where(col == end_i - _c(1), h_new, _s(neg_s)),
-                    axis=1, keepdims=True).astype(i32))
+            jnp.max(jnp.where(col == end_i - _c(1), h_new.astype(i32),
+                              _c(neg_s)),
+                    axis=1, keepdims=True))
         at_qend = active & (end_i == qlens)
         upd_g = at_qend & (gscore <= h1_last)
         max_ie = jnp.where(upd_g, i, max_ie)

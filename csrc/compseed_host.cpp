@@ -2421,6 +2421,28 @@ void cs_sam_copy(void* h, i32 read, char* out) {
     memcpy(out, B->reads[read].sam.data(), B->reads[read].sam.size());
 }
 
+// bulk variants: one call for the whole batch (per-read ctypes calls
+// cost ~1.5 us each, which dominates at 16k+ reads/chunk)
+i64 cs_sam_total(void* h, i64* offsets) {
+    Batch* B = (Batch*)h;
+    i64 acc = 0;
+    offsets[0] = 0;
+    for (size_t r = 0; r < B->reads.size(); ++r) {
+        acc += (i64)B->reads[r].sam.size();
+        offsets[r + 1] = acc;
+    }
+    return acc;
+}
+
+void cs_sam_copy_all(void* h, char* out) {
+    Batch* B = (Batch*)h;
+    char* p = out;
+    for (auto& rd : B->reads) {
+        memcpy(p, rd.sam.data(), rd.sam.size());
+        p += rd.sam.size();
+    }
+}
+
 i64 cs_pair_buf_sizes(void* h, i32 side, i64* max_q, i64* max_r) {
     Batch* B = (Batch*)h;
     auto& pairs = side == 0 ? B->left : B->right;
