@@ -43,9 +43,17 @@ def _c(v):
     return jnp.asarray(v, jnp.int32)
 
 
+def _roll32(x, amount):
+    """Lane-axis roll; Mosaic only implements rotates on 32-bit data,
+    so sub-32-bit inputs round-trip through int32."""
+    if x.dtype.itemsize < 4:
+        return pltpu.roll(x.astype(jnp.int32), amount, 1).astype(x.dtype)
+    return pltpu.roll(x, amount, 1)
+
+
 def _row_shift_right(x, fill):
     """x[:, j] -> x[:, j-1] with column 0 = fill (lane-axis shift)."""
-    rolled = pltpu.roll(x, _c(1), 1)
+    rolled = _roll32(x, _c(1))
     col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     if not hasattr(fill, "shape"):
         fill = jnp.asarray(fill, x.dtype)
@@ -59,7 +67,7 @@ def _prefix_max(x, neg):
     s = 1
     negc = jnp.asarray(neg, x.dtype)
     while s < n:
-        shifted = pltpu.roll(x, _c(s), 1)
+        shifted = _roll32(x, _c(s))
         x = jnp.maximum(x, jnp.where(col >= _c(s), shifted, negc))
         s <<= 1
     return x
