@@ -36,6 +36,23 @@ def bsw_extend(o_del: int, e_del: int, o_ins: int, e_ins: int,
                h0s: jax.Array,        # (P,) int32
                ):
     """Returns (score, qle, tle, gtle, gscore, max_off), each (P,) int32."""
+    i32 = jnp.int32
+    qlens = qlens.astype(i32)
+    # per-pair band clamp (ksw.c:398-407); C computes in double then truncs
+    max_ins = jnp.maximum(
+        ((qlens.astype(jnp.float64) * max_sc + end_bonus - o_ins) / e_ins
+         + 1.0).astype(i32), 1)
+    max_del = jnp.maximum(
+        ((qlens.astype(jnp.float64) * max_sc + end_bonus - o_del) / e_del
+         + 1.0).astype(i32), 1)
+    w = jnp.minimum(jnp.minimum(w_in.astype(i32), max_ins), max_del)  # (P,)
+    return _extend_core(o_del, e_del, o_ins, e_ins, zdrop, mat, w,
+                        queries, qlens, targets, tlens, h0s)
+
+
+def _extend_core(o_del: int, e_del: int, o_ins: int, e_ins: int,
+                 zdrop: int, mat, w, queries, qlens, targets, tlens, h0s):
+    """DP body with the band already clamped per pair (w: (P,) int32)."""
     P, Q = queries.shape
     T = targets.shape[1]
     i32 = jnp.int32
@@ -45,15 +62,7 @@ def bsw_extend(o_del: int, e_del: int, o_ins: int, e_ins: int,
     qlens = qlens.astype(i32)
     tlens = tlens.astype(i32)
     h0s = h0s.astype(i32)
-
-    # per-pair band clamp (ksw.c:398-407); C computes in double then truncs
-    max_ins = jnp.maximum(
-        ((qlens.astype(jnp.float64) * max_sc + end_bonus - o_ins) / e_ins
-         + 1.0).astype(i32), 1)
-    max_del = jnp.maximum(
-        ((qlens.astype(jnp.float64) * max_sc + end_bonus - o_del) / e_del
-         + 1.0).astype(i32), 1)
-    w = jnp.minimum(jnp.minimum(w_in.astype(i32), max_ins), max_del)  # (P,)
+    w = w.astype(i32)
 
     jj = jnp.arange(Q + 1, dtype=i32)            # eh index grid
     jq = jnp.arange(Q, dtype=i32)                # column grid
@@ -194,6 +203,102 @@ def bsw_extend(o_del: int, e_del: int, o_ins: int, e_ins: int,
                       st["max_ie"] + 1, st["gscore"], st["max_off"]])
 
 
+@partial(jax.jit, static_argnames=("Q", "T", "L", "l_pac", "o_del",
+                                   "e_del", "o_ins", "e_ins", "zdrop"))
+def bsw_meta_xla(mat, qflat, pac,          # device read matrix + reference
+                 qmeta,                    # (P, 4) i32: rid, q0, qlen, rev
+                 r0,                       # (P,) index dtype
+                 rlen,                     # (P,) i32
+                 h0s, ws,                  # (P, 1) i32
+                 *, Q: int, T: int, L: int, l_pac: int,
+                 o_del: int, e_del: int, o_ins: int, e_ins: int,
+                 zdrop: int) -> jax.Array:
+    """Metadata pair interface backed by the XLA DP twin instead of the
+    Pallas kernel: same on-device tile build (only ~28 B/pair crosses
+    the host link), same results, ~(P, Q) HBM round trips per row in
+    the DP.  Used when Mosaic compilation is unavailable on the target
+    (some axon tunnels hang compiling ANY Pallas kernel while plain XLA
+    works) — see pallas_available().  Output layout matches the Pallas
+    kernel's (P, 8) int32 block."""
+    from compseed_tpu.ops.bsw_pallas import build_tiles
+    qt, ql, tt = build_tiles(qflat, pac, qmeta, r0, rlen,
+                             Q=Q, T=T, L=L, l_pac=l_pac)
+    res = _extend_core(o_del, e_del, o_ins, e_ins, zdrop, mat,
+                       ws[:, 0], qt, ql.astype(jnp.int32), tt,
+                       rlen.astype(jnp.int32), h0s[:, 0])   # (6, P)
+    out = res.T.astype(jnp.int32)
+    return jnp.concatenate(
+        [out, jnp.zeros((out.shape[0], 2), jnp.int32)], axis=1)
+
+
+_PALLAS_OK: bool | None = None
+
+_PALLAS_PROBE_SRC = """
+import jax, jax.numpy as jnp, numpy as np
+from jax.experimental import pallas as pl
+def k(x_ref, o_ref):
+    o_ref[:] = x_ref[:] + jnp.asarray(1, jnp.int32)
+f = pl.pallas_call(k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int32))
+assert int(np.asarray(f(jnp.zeros((8, 128), jnp.int32)))[0, 0]) == 1
+print("ok")
+"""
+
+
+def pallas_available() -> bool:
+    """Whether Mosaic kernels can actually be compiled on this backend.
+
+    Some axon TPU tunnels hang server-side compiling ANY Pallas kernel
+    (even a trivial copy) while plain XLA programs compile in seconds —
+    a blocking call would wedge the whole pipeline, so the probe runs in
+    a subprocess under a timeout and the verdict is cached per backend
+    in build/.  COMPSEED_PALLAS=0/1 overrides."""
+    global _PALLAS_OK
+    if _PALLAS_OK is not None:
+        return _PALLAS_OK
+    import json
+    import os
+    import subprocess
+    import sys
+
+    ov = os.environ.get("COMPSEED_PALLAS")
+    if ov in ("0", "1"):
+        _PALLAS_OK = ov == "1"
+        return _PALLAS_OK
+    import jax
+    backend = jax.default_backend()
+    if backend == "cpu":
+        _PALLAS_OK = False        # tests use interpret mode explicitly
+        return False
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    cache = os.path.join(root, "build", f"pallas_probe_{backend}.json")
+    key = jax.__version__
+    try:
+        with open(cache) as f:
+            rec = json.load(f)
+        if rec.get("key") == key:
+            _PALLAS_OK = bool(rec["ok"])
+            return _PALLAS_OK
+    except (OSError, ValueError):
+        pass
+    # threshold, not just a hang guard: a healthy tunnel compiles the
+    # trivial kernel in seconds; one measured sick tunnel took 256 s —
+    # at that rate the real DP kernels would take hours, so "slower
+    # than this" means "fall back to the XLA twin"
+    timeout = float(os.environ.get("COMPSEED_PALLAS_PROBE_TIMEOUT", "150"))
+    try:
+        r = subprocess.run([sys.executable, "-c", _PALLAS_PROBE_SRC],
+                           capture_output=True, timeout=timeout)
+        ok = r.returncode == 0 and b"ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        ok = False
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    with open(cache, "w") as f:
+        json.dump({"key": key, "ok": ok}, f)
+    _PALLAS_OK = ok
+    return ok
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
@@ -253,9 +358,10 @@ class BswRunner:
         self.dfi = dfi               # device index (pac) for the meta path
         self._qctx = None            # (qflat device array, L) per chunk
         self._row_map = None         # read id -> qd row (sharded layout)
+        import jax
+        on_device = jax.default_backend() != "cpu"
         if use_pallas is None:
-            import jax
-            use_pallas = jax.default_backend() != "cpu"
+            use_pallas = on_device and pallas_available()
         m = mat.reshape(5, 5).astype(np.int64)
         a, b = int(m[0, 0]), int(m[0, 1])
         pattern = np.full((5, 5), b, np.int64)
@@ -265,6 +371,16 @@ class BswRunner:
         # pattern (match/mismatch/ambig); exotic matrices use XLA
         self.mat_is_scmat = bool((m == pattern).all())
         self.use_pallas = use_pallas and self.mat_is_scmat
+        # metadata pair interface without Mosaic: XLA tile build + DP
+        # twin; default on-device whenever the Pallas kernel is not
+        # taken (broken Mosaic tunnel, exotic matrix), opt-in on CPU
+        # (COMPSEED_BSW_META=1) for differential coverage of the exact
+        # production path
+        import os
+        meta_env = os.environ.get("COMPSEED_BSW_META", "auto")
+        self.meta_xla = (meta_env == "1" or
+                         (meta_env == "auto" and on_device and
+                          not self.use_pallas))
         self.interpret = False       # CPU differential tests set True
         # int16 DP state (halved VMEM traffic / doubled VPU packing);
         # applied per kernel class only when the score bounds prove no
@@ -327,8 +443,8 @@ class BswRunner:
 
     @property
     def supports_meta(self) -> bool:
-        return (self.use_pallas and self.dfi is not None and
-                self._qctx is not None)
+        return ((self.use_pallas or self.meta_xla) and
+                self.dfi is not None and self._qctx is not None)
 
     def run_meta(self, qmeta: np.ndarray, rmeta: np.ndarray,
                  h0: np.ndarray, w: int, pen_clip: int):
@@ -367,15 +483,24 @@ class BswRunner:
             ws[:m, 0] = clamp_band(qlens[order], w, self.max_sc, pen_clip,
                                    opt.o_del, opt.e_del, opt.o_ins,
                                    opt.e_ins)
-            out = np.asarray(bsw_meta_tiles(
-                self.mat25, qflat, self.dfi.pac_words,
-                jnp.asarray(qm), jnp.asarray(r0).astype(dt),
-                jnp.asarray(rl), jnp.asarray(h0p), jnp.asarray(ws),
-                Q=Q, T=T, L=L, l_pac=self.dfi.l_pac,
-                o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
-                e_ins=opt.e_ins, zdrop=opt.zdrop,
-                interpret=self.interpret,
-                state16=self._use16(Q, int(h0[order].max(initial=0)))))
+            if self.use_pallas:
+                out = np.asarray(bsw_meta_tiles(
+                    self.mat25, qflat, self.dfi.pac_words,
+                    jnp.asarray(qm), jnp.asarray(r0).astype(dt),
+                    jnp.asarray(rl), jnp.asarray(h0p), jnp.asarray(ws),
+                    Q=Q, T=T, L=L, l_pac=self.dfi.l_pac,
+                    o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
+                    e_ins=opt.e_ins, zdrop=opt.zdrop,
+                    interpret=self.interpret,
+                    state16=self._use16(Q, int(h0[order].max(initial=0)))))
+            else:
+                out = np.asarray(bsw_meta_xla(
+                    self.mat, qflat, self.dfi.pac_words,
+                    jnp.asarray(qm), jnp.asarray(r0).astype(dt),
+                    jnp.asarray(rl), jnp.asarray(h0p), jnp.asarray(ws),
+                    Q=Q, T=T, L=L, l_pac=self.dfi.l_pac,
+                    o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
+                    e_ins=opt.e_ins, zdrop=opt.zdrop))
             res[order] = out[:m, :6].astype(np.int32)
         # each result must be C-contiguous: these cross a raw ctypes
         # pointer into the native tail, which indexes them densely

@@ -303,26 +303,15 @@ def bsw_extend_tiles(mat25: jax.Array,     # (1, 25) int32
                         state16)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("Q", "T", "L", "l_pac", "o_del",
-                                    "e_del", "o_ins", "e_ins", "zdrop",
-                                    "interpret", "state16"))
-def bsw_meta_tiles(mat25, qflat, pac,      # device read matrix + reference
-                   qmeta,                  # (P, 4) i32: rid, q0, qlen, rev
-                   r0,                     # (P,) index dtype
-                   rlen,                   # (P,) i32
-                   h0s, ws,                # (P, 1) i32
-                   *, Q: int, T: int, L: int, l_pac: int,
-                   o_del: int, e_del: int, o_ins: int, e_ins: int,
-                   zdrop: int, interpret: bool = False,
-                   state16: bool = False) -> jax.Array:
-    """Build the DP tiles ON DEVICE from pair metadata and run the
-    kernel: sequences are sliced out of the chunk's read matrix and the
-    packed reference (rev pairs consume positions downward, which is the
-    reference's reversed-copy left extension, comp_seed.cpp:630-637),
-    so only ~28 B of metadata per pair crosses the host link."""
+def build_tiles(qflat, pac, qmeta, r0, rlen, *, Q: int, T: int, L: int,
+                l_pac: int):
+    """Slice the DP tiles ON DEVICE from pair metadata: queries out of
+    the chunk's read matrix, targets out of the packed reference (rev
+    pairs consume positions downward, which is the reference's
+    reversed-copy left extension, comp_seed.cpp:630-637).  Plain jnp —
+    shared by the Pallas meta path and the XLA fallback meta path.
+    Returns (qt, ql, tt) with qt (P, Q) / tt (P, T) int8."""
     i32 = jnp.int32
-    P = qmeta.shape[0]
     rid = qmeta[:, 0]
     q0 = qmeta[:, 1]
     ql = qmeta[:, 2]
@@ -342,9 +331,31 @@ def bsw_meta_tiles(mat25, qflat, pac,      # device read matrix + reference
     tv = pac_codes_at(pac, pf).astype(i32)
     tv = jnp.where(fwd, tv, 3 - tv)
     tt = jnp.where(j2[None, :] < rlen[:, None], tv, 4)
+    return qt.astype(jnp.int8), ql, tt.astype(jnp.int8)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("Q", "T", "L", "l_pac", "o_del",
+                                    "e_del", "o_ins", "e_ins", "zdrop",
+                                    "interpret", "state16"))
+def bsw_meta_tiles(mat25, qflat, pac,      # device read matrix + reference
+                   qmeta,                  # (P, 4) i32: rid, q0, qlen, rev
+                   r0,                     # (P,) index dtype
+                   rlen,                   # (P,) i32
+                   h0s, ws,                # (P, 1) i32
+                   *, Q: int, T: int, L: int, l_pac: int,
+                   o_del: int, e_del: int, o_ins: int, e_ins: int,
+                   zdrop: int, interpret: bool = False,
+                   state16: bool = False) -> jax.Array:
+    """Build the DP tiles on device from pair metadata and run the
+    Pallas kernel; only ~28 B of metadata per pair crosses the host
+    link."""
+    i32 = jnp.int32
+    qt, ql, tt = build_tiles(qflat, pac, qmeta, r0, rlen,
+                             Q=Q, T=T, L=L, l_pac=l_pac)
     return _call_kernel(
-        mat25, qt.astype(jnp.int8), ql[:, None].astype(i32),
-        tt.astype(jnp.int8), rlen[:, None].astype(i32), h0s, ws,
+        mat25, qt, ql[:, None].astype(i32),
+        tt, rlen[:, None].astype(i32), h0s, ws,
         o_del, e_del, o_ins, e_ins, zdrop, interpret=interpret,
         state16=state16)
 

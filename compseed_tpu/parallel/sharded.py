@@ -194,20 +194,33 @@ class ShardedBswRunner(BswRunner):
                 self._R_rows > 0)
 
     def _meta_step(self, P_shard: int, Q: int, T: int, L: int):
+        from compseed_tpu.ops.bsw import bsw_meta_xla, pallas_available
         from compseed_tpu.ops.bsw_pallas import bsw_meta_tiles
-        key = (P_shard, Q, T, L)
+        key = (P_shard, Q, T, L, self.interpret)
         if key in self._meta_steps:
             return self._meta_steps[key]
         opt = self.opt
         l_pac = self.dfi.l_pac
         interp = self.interpret
+        # interpret mode (CPU tests) exercises the Pallas kernel without
+        # Mosaic; on hardware, fall back to the XLA twin when Mosaic
+        # compilation is broken/glacial on this tunnel (see
+        # bsw.pallas_available)
+        use_pallas = interp or pallas_available()
+        mat_arg = self.mat25 if use_pallas else self.mat
 
-        def run(mat25, qflat, pac, qm, r0, rl, h0, ws):
-            return bsw_meta_tiles(
-                mat25, qflat, pac, qm, r0, rl, h0, ws,
+        def run(mat_in, qflat, pac, qm, r0, rl, h0, ws):
+            if use_pallas:
+                return bsw_meta_tiles(
+                    mat_in, qflat, pac, qm, r0, rl, h0, ws,
+                    Q=Q, T=T, L=L, l_pac=l_pac,
+                    o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
+                    e_ins=opt.e_ins, zdrop=opt.zdrop, interpret=interp)
+            return bsw_meta_xla(
+                mat_in, qflat, pac, qm, r0, rl, h0, ws,
                 Q=Q, T=T, L=L, l_pac=l_pac,
                 o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
-                e_ins=opt.e_ins, zdrop=opt.zdrop, interpret=interp)
+                e_ins=opt.e_ins, zdrop=opt.zdrop)
 
         step = jax.jit(jax.shard_map(
             run, mesh=self.mesh,
@@ -215,8 +228,8 @@ class ShardedBswRunner(BswRunner):
                       P("data"), P("data", None), P("data", None)),
             out_specs=P("data", None),
             check_vma=False))
-        self._meta_steps[key] = step
-        return step
+        self._meta_steps[key] = (step, mat_arg)
+        return step, mat_arg
 
     def run_meta(self, qmeta: np.ndarray, rmeta: np.ndarray,
                  h0: np.ndarray, w: int, pen_clip: int):
@@ -254,10 +267,10 @@ class ShardedBswRunner(BswRunner):
         ws[slot, 0] = clamp_band(qlens, w, self.max_sc, pen_clip,
                                  opt.o_del, opt.e_del, opt.o_ins,
                                  opt.e_ins)
-        step = self._meta_step(P_shard, Q, T, L)
+        step, mat_arg = self._meta_step(P_shard, Q, T, L)
         dt = self.dfi.dtype
         out = np.asarray(step(
-            self.mat25, qflat, self.dfi.pac_words, jnp.asarray(qm),
+            mat_arg, qflat, self.dfi.pac_words, jnp.asarray(qm),
             jnp.asarray(r0).astype(dt), jnp.asarray(rl),
             jnp.asarray(h0p), jnp.asarray(ws)))
         return tuple(out[slot, j].astype(np.int32) for j in range(6))

@@ -139,10 +139,14 @@ def test_bsw_pallas_kernel_vs_xla(state16):
         assert np.array_equal(ref[j], out[:, j]), j
 
 
-def test_run_meta_class_split_interpret(micro):
-    """run_meta (Pallas interpret, Q-class split) must equal run_flat
-    (XLA) on metadata-described pairs spanning two query-length classes
-    — covers the on-device tile slicing AND the per-class dispatch."""
+@pytest.mark.parametrize("meta_mode", ["pallas", "xla"])
+def test_run_meta_class_split_interpret(micro, meta_mode):
+    """run_meta (Q-class split) must equal run_flat (XLA) on
+    metadata-described pairs spanning two query-length classes — covers
+    the on-device tile slicing AND the per-class dispatch, for BOTH
+    meta backends: the Pallas kernel (interpret mode) and the XLA twin
+    (the fallback taken on tunnels where Mosaic compilation is broken,
+    ops/bsw.py::bsw_meta_xla)."""
     import jax.numpy as jnp
     from compseed_tpu.ops.device_index import to_device
 
@@ -207,8 +211,12 @@ def test_run_meta_class_split_interpret(micro):
     rx = BswRunner(opt, mat, use_pallas=False)
     want = rx.run_flat(flat_q, qoff, flat_r, roff, h0, opt.w, opt.pen_clip5)
 
-    rm = BswRunner(opt, mat, use_pallas=True, dfi=dfi)
-    rm.interpret = True
+    if meta_mode == "pallas":
+        rm = BswRunner(opt, mat, use_pallas=True, dfi=dfi)
+        rm.interpret = True
+    else:
+        rm = BswRunner(opt, mat, use_pallas=False, dfi=dfi)
+        rm.meta_xla = True
     rm.set_query_context(jnp.asarray(qarr), L)
     assert rm.supports_meta
     got = rm.run_meta(qmeta, rmeta, h0, opt.w, opt.pen_clip5)
