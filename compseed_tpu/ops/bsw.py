@@ -286,15 +286,40 @@ def pallas_available() -> bool:
     # at that rate the real DP kernels would take hours, so "slower
     # than this" means "fall back to the XLA twin"
     timeout = float(os.environ.get("COMPSEED_PALLAS_PROBE_TIMEOUT", "150"))
+    why = ""
     try:
         r = subprocess.run([sys.executable, "-c", _PALLAS_PROBE_SRC],
                            capture_output=True, timeout=timeout)
         ok = r.returncode == 0 and b"ok" in r.stdout
+        if not ok:
+            err = r.stderr.decode(errors="replace").strip()
+            # distinguish "Mosaic can't lower / compile" (cacheable —
+            # retrying won't help on this backend+jax) from "the device
+            # was busy/unreachable" (transient — do NOT cache, next boot
+            # should re-probe; a parent process holding the single-client
+            # TPU lock is the common cause)
+            transient = any(s in err for s in (
+                "UNAVAILABLE", "ALREADY_EXISTS", "RESOURCE_EXHAUSTED",
+                "DEADLINE_EXCEEDED", "already in use", "busy",
+                "Unable to initialize backend"))
+            why = ("transient device/init failure" if transient
+                   else "Mosaic compile failure")
+            print(f"[compseed] pallas probe failed ({why}); falling back "
+                  f"to the XLA DP twin. stderr tail: {err[-400:]}",
+                  file=sys.stderr)
+            if transient:
+                _PALLAS_OK = False   # this run only; not cached
+                return False
     except subprocess.TimeoutExpired:
         ok = False
+        why = f"probe exceeded {timeout:.0f}s (sick Mosaic tunnel)"
+        print(f"[compseed] pallas probe timed out after {timeout:.0f}s; "
+              f"caching XLA-twin fallback for jax {key}", file=sys.stderr)
     os.makedirs(os.path.dirname(cache), exist_ok=True)
-    with open(cache, "w") as f:
-        json.dump({"key": key, "ok": ok}, f)
+    tmp = cache + f".tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"key": key, "ok": ok, "why": why}, f)
+    os.replace(tmp, cache)
     _PALLAS_OK = ok
     return ok
 
@@ -386,7 +411,6 @@ class BswRunner:
         # applied per kernel class only when the score bounds prove no
         # overflow — the 8/16-bit class-split analogue of
         # mapping/bandedSWA.cpp:116.  Opt-in until TPU-lowering-verified.
-        import os
         self.state16 = os.environ.get("COMPSEED_BSW_I16", "0") == "1"
 
     def _use16(self, Q: int, h0max: int) -> bool:

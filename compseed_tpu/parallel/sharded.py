@@ -196,7 +196,8 @@ class ShardedBswRunner(BswRunner):
     def _meta_step(self, P_shard: int, Q: int, T: int, L: int):
         from compseed_tpu.ops.bsw import bsw_meta_xla, pallas_available
         from compseed_tpu.ops.bsw_pallas import bsw_meta_tiles
-        key = (P_shard, Q, T, L, self.interpret)
+        force_xla = getattr(self, "force_meta_xla", False)
+        key = (P_shard, Q, T, L, self.interpret, force_xla)
         if key in self._meta_steps:
             return self._meta_steps[key]
         opt = self.opt
@@ -205,8 +206,9 @@ class ShardedBswRunner(BswRunner):
         # interpret mode (CPU tests) exercises the Pallas kernel without
         # Mosaic; on hardware, fall back to the XLA twin when Mosaic
         # compilation is broken/glacial on this tunnel (see
-        # bsw.pallas_available)
-        use_pallas = interp or pallas_available()
+        # bsw.pallas_available).  force_meta_xla pins the XLA twin so the
+        # sharded composition of the fallback is testable on CPU.
+        use_pallas = (interp or pallas_available()) and not force_xla
         mat_arg = self.mat25 if use_pallas else self.mat
 
         def run(mat_in, qflat, pac, qm, r0, rl, h0, ws):

@@ -1840,17 +1840,6 @@ static int matesw(Batch* B, const PeStat pes[4], const RegC* a,
         int r = infer_dir(l_pac, a->rb, m.rb, &dist);
         if (dist >= pes[r].low && dist <= pes[r].high) skip[r] = 1;
     }
-    if (getenv("DUMP_PAIR")) {
-        fprintf(stderr, "MSW anchor rb=%lld score=%d skip=%d%d%d%d "
-                "pes2=[%d,%d]\n", (long long)a->rb, a->score, skip[0],
-                skip[1], skip[2], skip[3], pes[2].low, pes[2].high);
-        for (auto& m : mate->regs) {
-            i64 dist;
-            int r = infer_dir(l_pac, a->rb, m.rb, &dist);
-            fprintf(stderr, "  mate rb=%lld dir=%d dist=%lld\n",
-                    (long long)m.rb, r, (long long)dist);
-        }
-    }
     if (skip[0] + skip[1] + skip[2] + skip[3] == 4) return 0;
     for (int r = 0; r < 4; ++r) {
         if (skip[r]) continue;
@@ -1884,19 +1873,6 @@ static int matesw(Batch* B, const PeStat pes[4], const RegC* a,
                        (o.min_seed_len * o.a);
             KswR aln = ksw_align2_eq(l_ms, seq, (int)(re - rb), ref.data(),
                                      o, xtra);
-            if (getenv("DUMP_PAIR")) {
-                fprintf(stderr, "MSWX a_rb=%lld r=%d rb=%lld re=%lld "
-                        "score=%d qb=%d qe=%d tb=%d te=%d score2=%d\nQ ",
-                        (long long)a->rb, r, (long long)rb, (long long)re,
-                        aln.score, aln.qb, aln.qe, aln.tb, aln.te,
-                        aln.score2);
-                for (int z2 = 0; z2 < l_ms; ++z2)
-                    fputc("ACGTN"[seq[z2]], stderr);
-                fprintf(stderr, "\nT ");
-                for (i64 z2 = 0; z2 < re - rb; ++z2)
-                    fputc("ACGTN"[ref[z2]], stderr);
-                fputc('\n', stderr);
-            }
             if (aln.score >= o.min_seed_len && aln.qb >= 0) {
                 RegC b{};
                 b.rid = a->rid;
@@ -1951,10 +1927,6 @@ static int mem_pair_eq(Batch* B, const PeStat pes[4], ReadState* rs0,
     intro_sort((int)v.size(), v.data(), [](const P64& a, const P64& b) {
         return a.x < b.x || (a.x == b.x && a.y < b.y);
     });
-    if (getenv("DUMP_PAIR"))
-        for (size_t i = 0; i < v.size(); ++i)
-            fprintf(stderr, "V[%zu]\tx=%llx\ty=%llx\n", i,
-                    (unsigned long long)v[i].x, (unsigned long long)v[i].y);
     int y[4] = {-1, -1, -1, -1};
     for (size_t i = 0; i < v.size(); ++i) {
         for (int r = 0; r < 2; ++r) {
@@ -1975,10 +1947,6 @@ static int mem_pair_eq(Batch* B, const PeStat pes[4], ReadState* rs0,
                 u64 py = (u64)k << 32 | (u32)i;
                 u64 px = (u64)(u32)q << 32 |
                          (wang_hash64(py ^ (u64)id << 8) & 0xffffffffULL);
-                if (getenv("DUMP_PAIR"))
-                    fprintf(stderr, "U k=%d i=%zu q=%d dist=%lld px=%llx\n",
-                            k, i, q, (long long)dist,
-                            (unsigned long long)px);
                 u.push_back({px, py});
             }
         }
@@ -2018,18 +1986,6 @@ static int sam_pe(Batch* B, const PeStat pes[4], i64 id, ReadState* rs0,
     int n = 0, z[2] = {0, 0}, n_pri[2];
     i32 extra_flag = 1;
     AlnOut h[2];
-    if (getenv("DUMP_PAIR"))
-        for (int r = 0; r < 2; ++r)
-            for (size_t j = 0; j < rr[r]->regs.size(); ++j) {
-                const RegC& e = rr[r]->regs[j];
-                fprintf(stderr, "REG id=%lld r=%d j=%zu rb=%lld re=%lld "
-                        "qb=%d qe=%d score=%d truesc=%d sub=%d csub=%d "
-                        "w=%d seedcov=%d frac_rep=%.4f seedlen0=%d\n",
-                        (long long)id, r, j, (long long)e.rb,
-                        (long long)e.re, e.qb, e.qe, e.score, e.truesc,
-                        e.sub, e.csub, e.w, e.seedcov, e.frac_rep,
-                        e.seedlen0);
-            }
     if (!(o.flag & FLAG_NO_RESCUE)) {
         // snapshot both candidate lists BEFORE any rescue mutates regs
         vector<RegC> b[2];

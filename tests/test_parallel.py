@@ -129,3 +129,43 @@ def test_sharded_meta_path_sam_identical(tiny_fm):
             assert engine._meta_steps, "meta path was not exercised"
         sams[meta] = "".join(r.sam for r in rs)
     assert sams[True] == sams[False]
+
+
+@pytest.mark.slow
+def test_sharded_meta_xla_twin_sam_identical(tiny_fm):
+    """The sharded XLA-twin fallback of _meta_step (taken on hardware
+    when Mosaic is broken): force_meta_xla pins the bsw_meta_xla branch
+    under shard_map; SAM must match the Pallas-interpret meta path."""
+    import jax
+    from compseed_tpu.io.fastq import read_fastq_chunks
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    reads = []
+    for chunk in read_fastq_chunks(
+            os.path.join(FIXTURES, "reads.fq"), 10**9):
+        reads.extend(chunk)
+    reads = reads[:160]
+    from compseed_tpu.native import NativeTail
+    from compseed_tpu.options import MemOptions
+    from compseed_tpu.parallel.mesh import make_mesh
+    from compseed_tpu.parallel.sharded import (ShardedBswRunner,
+                                               ShardedSeeder)
+    from compseed_tpu.pipeline.align import align_chunk
+
+    mesh = make_mesh(jax.devices()[:4])
+    sams = {}
+    for force_xla in (False, True):
+        opt = MemOptions()
+        seeder = ShardedSeeder(opt, tiny_fm, mesh=mesh)
+        engine = ShardedBswRunner(opt, np.array(opt.mat), mesh=mesh,
+                                  dfi=seeder.dfi)
+        engine.interpret = True      # enables supports_meta on CPU
+        engine.force_meta_xla = force_xla
+        tail = NativeTail(opt, tiny_fm)
+        rs = [r.__class__(**r.__dict__) for r in reads]
+        align_chunk(opt, tiny_fm, rs, 0, engine=engine, seeder=seeder,
+                    tail=tail)
+        assert engine._meta_steps, "meta path was not exercised"
+        sams[force_xla] = "".join(r.sam for r in rs)
+    assert sams[True] == sams[False]
