@@ -53,7 +53,10 @@ READ_LEN = 101
 COVERAGE = 30.0
 BASELINE_READS_PER_S = 61_300.0
 USE_NATIVE_TAIL = True
-N_RUNS = 3
+# the axon tunnel shows heavy run-to-run variance; the judged value is
+# the MEDIAN of N_RUNS (round-3 ask: spread was a material fraction of
+# the signal at N=3 + mean)
+N_RUNS = int(os.environ.get("COMPSEED_BENCH_RUNS", "5"))
 
 
 def _make_genome(rng) -> np.ndarray:
@@ -188,6 +191,7 @@ def main() -> None:
     from compseed_tpu.pipeline.align import align_stream
     if tail is not None:
         tail.prof.clear()            # drop warmup chunks from the split
+    getattr(engine, "prof", {}).clear()
     n_timed = 2 * CHUNK
     rates = []
     stats = SeedingStats()
@@ -204,24 +208,30 @@ def main() -> None:
         rates.append(n_timed / dt)
         stats = st                      # per-run stats are identical
 
-    value = float(np.mean(rates))
+    value = float(np.median(rates))
     bwt_hit = 100.0 * (stats.bwt_queries - stats.bwt_calls) / \
         max(stats.bwt_queries, 1)
     sal_merged = 100.0 * (stats.sal_queries - stats.sal_calls) / \
         max(stats.sal_queries, 1)
+    prof = dict(tail.prof) if tail else {}
+    # the engine's own sub-split (pack / dispatch / D2H-sync fetch)
+    # nests under the tail's "engine" bucket
+    prof.update(getattr(engine, "prof", {}))
+    spread = 100.0 * (max(rates) - min(rates)) / value if value else 0.0
     print(json.dumps({
         "metric": "reads_per_s_per_chip_e2e",
         "value": round(value, 2),
         "unit": "reads/s",
         "vs_baseline": round(value / BASELINE_READS_PER_S, 4),
         "runs": [round(r, 1) for r in rates],
+        "spread_pct": round(spread, 1),
         "bwt_hit_pct": round(bwt_hit, 2),
         "sal_merged_pct": round(sal_merged, 2),
         "seed_d2h_bytes_per_chunk": int(seeder.prof.get("d2h_bytes", 0)),
         # host-tail phase split, accumulated over the N_RUNS*2 timed
         # chunks (the chain/engine/finalize blind spot of round 2)
         "tail_profile_ms": {k: round(v * 1e3, 1)
-                            for k, v in (tail.prof if tail else {}).items()},
+                            for k, v in prof.items()},
     }))
 
 

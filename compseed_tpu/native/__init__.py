@@ -98,7 +98,10 @@ def _load():
         ct.c_int32]
     lib.cs_export_pair_meta.restype = ct.c_int64
     lib.cs_export_pair_meta.argtypes = [ct.c_void_p, ct.c_int32, i32p,
-                                        i64p, i32p]
+                                        i64p, i32p, i32p]
+    lib.cs_apply_dual.restype = None
+    lib.cs_apply_dual.argtypes = [ct.c_void_p, ct.c_int32,
+                                  ct.c_int32] + [i32p] * 6
     lib.cs_pending_pairs.restype = ct.c_int64
     lib.cs_pending_pairs.argtypes = [ct.c_void_p, ct.c_int32]
     lib.cs_pair_buf_sizes.restype = ct.c_int64
@@ -224,6 +227,8 @@ class NativeTail:
             return t1
 
         use_meta = bool(getattr(engine, "supports_meta", False))
+        use_dual = use_meta and bool(getattr(engine, "supports_meta_dual",
+                                             False))
         _t = _time.perf_counter()
         h = lib.cs_batch_create(
             ct.byref(self.copt), _ptr(self.pac, ct.c_uint8),
@@ -238,6 +243,35 @@ class NativeTail:
         try:
             for side, pen in ((0, self.opt.pen_clip5),
                               (1, self.opt.pen_clip3)):
+                if use_dual:
+                    # fused path: one export, one device program running
+                    # both band rounds + acceptance, one apply — two host
+                    # round trips per chunk instead of up to eight
+                    n = lib.cs_pending_pairs(h, side)
+                    if n == 0:
+                        # still resolve the side-1 h0 contract
+                        lib.cs_export_pair_meta(h, side, None, None, None,
+                                                None)
+                        continue
+                    qmeta = np.zeros((n, 4), np.int32)
+                    rmeta = np.zeros((n, 2), np.int64)
+                    h0 = np.zeros(n, np.int32)
+                    prev = np.zeros(n, np.int32)
+                    lib.cs_export_pair_meta(h, side,
+                                            _ptr(qmeta, ct.c_int32),
+                                            _ptr(rmeta, ct.c_int64),
+                                            _ptr(h0, ct.c_int32),
+                                            _ptr(prev, ct.c_int32))
+                    _t = _tick("export", _t)
+                    res = engine.run_meta_dual(qmeta, rmeta, h0, prev,
+                                               self.opt.w, pen)
+                    _t = _tick("engine", _t)
+                    lib.cs_apply_dual(h, side, self.opt.w,
+                                      *[_ptr(a, ct.c_int32)
+                                        for a in (res[0], res[1], res[2],
+                                                  res[3], res[4], res[6])])
+                    _t = _tick("apply", _t)
+                    continue
                 for rnd in range(MAX_BAND_TRY):
                     w = self.opt.w << rnd
                     last = 1 if rnd + 1 == MAX_BAND_TRY else 0
@@ -251,7 +285,7 @@ class NativeTail:
                         lib.cs_export_pair_meta(h, side,
                                                 _ptr(qmeta, ct.c_int32),
                                                 _ptr(rmeta, ct.c_int64),
-                                                _ptr(h0, ct.c_int32))
+                                                _ptr(h0, ct.c_int32), None)
                         _t = _tick("export", _t)
                         res = engine.run_meta(qmeta, rmeta, h0, w, pen)
                         _t = _tick("engine", _t)

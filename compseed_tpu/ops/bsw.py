@@ -231,6 +231,77 @@ def bsw_meta_xla(mat, qflat, pac,          # device read matrix + reference
         [out, jnp.zeros((out.shape[0], 2), jnp.int32)], axis=1)
 
 
+def _meta_dual_core(mat_arg, qflat, pac, meta, *, Q, T, L, l_pac,
+                    o_del, e_del, o_ins, e_ins, zdrop, w0, use_pallas,
+                    interpret=False, state16=False, wide_r0=False):
+    """Both band-doubling DP rounds + the retry acceptance in ONE device
+    program: round 0 at the nominal band w0, the reference's acceptance
+    test (score unchanged OR max_off < (w>>1)+(w>>2), comp_seed.cpp:
+    1732-1767), then round 1 at 2*w0 only for rejected lanes (accepted
+    lanes get tlen=0 and early-exit).  This replaces two host round
+    trips per side (export/engine/apply x2) with one — on the ~30 ms/
+    transfer axon tunnel the round trips, not the DP, dominated the
+    engine phase.  meta columns: rid, q0, qlen, rev, r0_lo, r0_hi, rlen,
+    h0, prev_score, ws0, ws1, pad.  Returns (P, 8) int32: the six DP
+    results of the accepted round + col 6 = accepted round index.
+    Shared by the single-chip jit (bsw_meta_dual) and the shard_map
+    composition (parallel/sharded.py)."""
+    from compseed_tpu.ops.bsw_pallas import _call_kernel, build_tiles
+    i32 = jnp.int32
+    qmeta = meta[:, 0:4]
+    if wide_r0:
+        r0 = (meta[:, 4].astype(jnp.uint32).astype(jnp.int64) |
+              (meta[:, 5].astype(jnp.int64) << 32))
+    else:
+        r0 = meta[:, 4]
+    rlen = meta[:, 6]
+    h0s = meta[:, 7:8]
+    prev = meta[:, 8]
+    ws0 = meta[:, 9:10]
+    ws1 = meta[:, 10:11]
+    qt, ql, tt = build_tiles(qflat, pac, qmeta, r0, rlen,
+                             Q=Q, T=T, L=L, l_pac=l_pac)
+
+    def dp(tl, ws):
+        if use_pallas:
+            return _call_kernel(
+                mat_arg, qt, ql[:, None].astype(i32), tt,
+                tl[:, None].astype(i32), h0s, ws,
+                o_del, e_del, o_ins, e_ins, zdrop,
+                interpret=interpret, state16=state16)
+        res = _extend_core(o_del, e_del, o_ins, e_ins, zdrop, mat_arg,
+                           ws[:, 0], qt, ql.astype(i32), tt,
+                           tl.astype(i32), h0s[:, 0])      # (6, P)
+        return res.T.astype(i32)
+
+    out0 = dp(rlen, ws0)
+    accept0 = (out0[:, 0] == prev) | \
+        (out0[:, 5] < ((w0 >> 1) + (w0 >> 2)))
+    out1 = dp(jnp.where(accept0, 0, rlen), ws1)
+    res = jnp.where(accept0[:, None], out0[:, :6], out1[:, :6])
+    rnd = jnp.where(accept0, 0, 1).astype(i32)
+    return jnp.concatenate(
+        [res, rnd[:, None], jnp.zeros((res.shape[0], 1), i32)], axis=1)
+
+
+@partial(jax.jit, static_argnames=("Q", "T", "L", "l_pac", "o_del",
+                                   "e_del", "o_ins", "e_ins", "zdrop",
+                                   "w0", "use_pallas", "interpret",
+                                   "state16", "wide_r0"))
+def bsw_meta_dual(mat_arg, qflat, pac,
+                  meta,                    # (P, 12) int32 packed pair table
+                  *, Q: int, T: int, L: int, l_pac: int,
+                  o_del: int, e_del: int, o_ins: int, e_ins: int,
+                  zdrop: int, w0: int, use_pallas: bool,
+                  interpret: bool = False, state16: bool = False,
+                  wide_r0: bool = False) -> jax.Array:
+    return _meta_dual_core(
+        mat_arg, qflat, pac, meta, Q=Q, T=T, L=L, l_pac=l_pac,
+        o_del=o_del, e_del=e_del, o_ins=o_ins, e_ins=e_ins, zdrop=zdrop,
+        w0=w0, use_pallas=use_pallas, interpret=interpret,
+        state16=state16, wide_r0=wide_r0)
+
+
 _PALLAS_OK: bool | None = None
 
 _PALLAS_PROBE_SRC = """
@@ -412,6 +483,10 @@ class BswRunner:
         # overflow — the 8/16-bit class-split analogue of
         # mapping/bandedSWA.cpp:116.  Opt-in until TPU-lowering-verified.
         self.state16 = os.environ.get("COMPSEED_BSW_I16", "0") == "1"
+        # sub-phase timers for the tail's "engine" bucket (VERDICT r3
+        # weak#1): pack = host numpy, call = jit dispatch (async),
+        # fetch = np.asarray D2H sync (includes queued device compute)
+        self.prof: dict[str, float] = {}
 
     def _use16(self, Q: int, h0max: int) -> bool:
         """True when every int16 DP intermediate provably fits: H <=
@@ -529,6 +604,79 @@ class BswRunner:
         # each result must be C-contiguous: these cross a raw ctypes
         # pointer into the native tail, which indexes them densely
         return tuple(np.ascontiguousarray(res[:, j]) for j in range(6))
+
+    @property
+    def supports_meta_dual(self) -> bool:
+        return self.supports_meta
+
+    def run_meta_dual(self, qmeta: np.ndarray, rmeta: np.ndarray,
+                      h0: np.ndarray, prev: np.ndarray, w: int,
+                      pen_clip: int):
+        """Fused band-retry interface: ONE packed H2D buffer, one device
+        program running both band rounds + acceptance (bsw_meta_dual),
+        one D2H fetch.  Returns seven (n,) int32 arrays: the six DP
+        results of the accepted round + the accepted round index."""
+        import time as _time
+        from compseed_tpu.ops.bsw_pallas import LT, clamp_band
+        opt = self.opt
+        n = len(h0)
+        if n == 0:
+            z = np.zeros(0, np.int32)
+            return (z,) * 7
+        t0 = _time.perf_counter()
+        qflat, L = self._qctx
+        if getattr(self, "_row_map", None) is not None:
+            qmeta = qmeta.copy()
+            qmeta[:, 0] = self._row_map[qmeta[:, 0]]
+        qlens = qmeta[:, 2].astype(np.int32)
+        tlens = rmeta[:, 1].astype(np.int32)
+        dt = self.dfi.dtype
+        wide = np.dtype(dt) == np.int64
+        res = np.zeros((n, 7), np.int32)
+        for Q, cls in _q_classes(qlens):
+            m = len(cls)
+            order = cls[np.argsort(tlens[cls], kind="stable")]
+            P = _bucket(m, LT)
+            T = _bucket(int(tlens[order].max(initial=1)), 128)
+            meta = np.zeros((P, 12), np.int32)
+            meta[:m, 0:4] = qmeta[order]
+            r0 = rmeta[order, 0]
+            meta[:m, 4] = (r0 & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+            meta[:m, 5] = (r0 >> 32).astype(np.int32)
+            meta[:m, 6] = tlens[order]
+            meta[:, 7] = 1
+            meta[:m, 7] = h0[order]
+            meta[:, 8] = -2              # pad lanes: accept at round 0
+            meta[:m, 8] = prev[order]
+            meta[:m, 9] = clamp_band(qlens[order], w, self.max_sc,
+                                     pen_clip, opt.o_del, opt.e_del,
+                                     opt.o_ins, opt.e_ins)
+            meta[:m, 10] = clamp_band(qlens[order], w * 2, self.max_sc,
+                                      pen_clip, opt.o_del, opt.e_del,
+                                      opt.o_ins, opt.e_ins)
+            t1 = _time.perf_counter()
+            out_dev = bsw_meta_dual(
+                self.mat25 if self.use_pallas else self.mat,
+                qflat, self.dfi.pac_words, jnp.asarray(meta),
+                Q=Q, T=T, L=L, l_pac=self.dfi.l_pac,
+                o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
+                e_ins=opt.e_ins, zdrop=opt.zdrop, w0=int(w),
+                use_pallas=self.use_pallas, interpret=self.interpret,
+                state16=self._use16(Q, int(h0[order].max(initial=0))),
+                wide_r0=wide)
+            t2 = _time.perf_counter()
+            out = np.asarray(out_dev)
+            t3 = _time.perf_counter()
+            res[order] = out[:m, :7].astype(np.int32)
+            self.prof["engine_pack"] = \
+                self.prof.get("engine_pack", 0.0) + (t1 - t0)
+            self.prof["engine_call"] = \
+                self.prof.get("engine_call", 0.0) + (t2 - t1)
+            self.prof["engine_fetch"] = \
+                self.prof.get("engine_fetch", 0.0) + (t3 - t2)
+            t0 = _time.perf_counter()
+        # each result crosses a raw ctypes pointer: must be C-contiguous
+        return tuple(np.ascontiguousarray(res[:, j]) for j in range(7))
 
     def _run_pallas(self, qbuf, qoff, rbuf, roff, h0, w: int, pen_clip: int):
         from compseed_tpu.ops.bsw_pallas import (LT, bsw_extend_tiles,

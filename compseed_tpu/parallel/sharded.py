@@ -193,6 +193,88 @@ class ShardedBswRunner(BswRunner):
                 self.dfi is not None and self._qctx is not None and
                 self._R_rows > 0)
 
+    @property
+    def supports_meta_dual(self) -> bool:
+        return self.supports_meta
+
+    def _meta_dual_step(self, P_shard: int, Q: int, T: int, w0: int):
+        from compseed_tpu.ops.bsw import _meta_dual_core, pallas_available
+        force_xla = getattr(self, "force_meta_xla", False)
+        qflat, L = self._qctx
+        key = ("dual", P_shard, Q, T, L, w0, self.interpret, force_xla)
+        if key in self._meta_steps:
+            return self._meta_steps[key]
+        opt = self.opt
+        l_pac = self.dfi.l_pac
+        interp = self.interpret
+        use_pallas = (interp or pallas_available()) and not force_xla
+        mat_arg = self.mat25 if use_pallas else self.mat
+        wide = jnp.dtype(self.dfi.dtype) == jnp.int64
+
+        def run(mat_in, qflat_s, pac, meta):
+            return _meta_dual_core(
+                mat_in, qflat_s, pac, meta, Q=Q, T=T, L=L, l_pac=l_pac,
+                o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
+                e_ins=opt.e_ins, zdrop=opt.zdrop, w0=w0,
+                use_pallas=use_pallas, interpret=interp, wide_r0=wide)
+
+        step = jax.jit(jax.shard_map(
+            run, mesh=self.mesh,
+            in_specs=(P(), P("data"), P(), P("data", None)),
+            out_specs=P("data", None),
+            check_vma=False))
+        self._meta_steps[key] = (step, mat_arg)
+        return step, mat_arg
+
+    def run_meta_dual(self, qmeta: np.ndarray, rmeta: np.ndarray,
+                      h0: np.ndarray, prev: np.ndarray, w: int,
+                      pen_clip: int):
+        """Fused band-retry pair interface under shard_map: each pair is
+        routed to the shard owning its read; one packed H2D buffer, one
+        device program (both band rounds + acceptance), one D2H fetch."""
+        from compseed_tpu.ops.bsw_pallas import LT, clamp_band
+        opt = self.opt
+        n = len(h0)
+        if n == 0:
+            z = np.zeros(0, np.int32)
+            return (z,) * 7
+        S, R_rows = self.S, self._R_rows
+        rows = qmeta[:, 0] if self._row_map is None else \
+            np.asarray(self._row_map)[qmeta[:, 0]]
+        shard = rows // R_rows
+        qlens = qmeta[:, 2].astype(np.int32)
+        tlens = rmeta[:, 1].astype(np.int32)
+        Q = _bucket(int(qlens.max(initial=1)), 128)
+        T = _bucket(int(tlens.max(initial=1)), 128)
+        per = np.bincount(shard, minlength=S)
+        P_shard = _bucket(int(per.max(initial=1)), LT)
+        order = np.argsort(shard, kind="stable")
+        within = np.arange(n) - np.repeat(np.cumsum(per) - per, per)
+        slot = shard * P_shard + within[np.argsort(order, kind="stable")]
+        meta = np.zeros((S * P_shard, 12), np.int32)
+        meta[:, 7] = 1
+        meta[:, 8] = -2            # pad lanes accept at round 0
+        meta[slot, 0:4] = qmeta
+        meta[slot, 0] = (rows % R_rows).astype(np.int32)  # shard-local row
+        r0 = rmeta[:, 0]
+        meta[slot, 4] = (r0 & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+        meta[slot, 5] = (r0 >> 32).astype(np.int32)
+        meta[slot, 6] = tlens
+        meta[slot, 7] = h0
+        meta[slot, 8] = prev
+        meta[slot, 9] = clamp_band(qlens, w, self.max_sc, pen_clip,
+                                   opt.o_del, opt.e_del, opt.o_ins,
+                                   opt.e_ins)
+        meta[slot, 10] = clamp_band(qlens, w * 2, self.max_sc, pen_clip,
+                                    opt.o_del, opt.e_del, opt.o_ins,
+                                    opt.e_ins)
+        step, mat_arg = self._meta_dual_step(P_shard, Q, T, int(w))
+        qflat, _L = self._qctx
+        out = np.asarray(step(mat_arg, qflat, self.dfi.pac_words,
+                              jnp.asarray(meta)))
+        return tuple(np.ascontiguousarray(out[slot, j].astype(np.int32))
+                     for j in range(7))
+
     def _meta_step(self, P_shard: int, Q: int, T: int, L: int):
         from compseed_tpu.ops.bsw import bsw_meta_xla, pallas_available
         from compseed_tpu.ops.bsw_pallas import bsw_meta_tiles

@@ -2245,8 +2245,11 @@ i64 cs_export_pairs(void* h, i32 side, u8* qbuf, i64* qoff, u8* rbuf,
 
 // metadata export: qmeta rows (read, q0, qlen, rev); rmeta rows
 // (r0, rlen).  Same pending/right-h0 contract as cs_export_pairs.
+// prev (optional) receives the reg's current score — the `prev` of the
+// round-0 acceptance test (comp_seed.cpp:1737), needed when the band-
+// retry decision runs on device (cs_apply_dual).
 i64 cs_export_pair_meta(void* h, i32 side, i32* qmeta, i64* rmeta,
-                        i32* h0) {
+                        i32* h0, i32* prev) {
     Batch* B = (Batch*)h;
     auto& pairs = side == 0 ? B->left : B->right;
     if (side == 1 && !B->right_seeded) {
@@ -2264,9 +2267,53 @@ i64 cs_export_pair_meta(void* h, i32 side, i32* qmeta, i64* rmeta,
         rmeta[2 * n] = p.r0;
         rmeta[2 * n + 1] = p.rlen;
         h0[n] = p.h0;
+        if (prev) prev[n] = B->reads[p.read].regs[p.regid].score;
         ++n;
     }
     return n;
+}
+
+// apply BOTH band rounds at once: the device already ran round 0,
+// the acceptance test, and (for rejected lanes) round 1 at 2*w0
+// (ops/bsw.py::bsw_meta_dual); rnd[i] is the accepted round index, so
+// every pair finalizes here with w = w0 << rnd[i].  Semantically equal
+// to apply_round(rnd 0) then apply_round(rnd 1, last) in sequence.
+void cs_apply_dual(void* h, i32 side, i32 w0, const i32* score,
+                   const i32* qle, const i32* tle, const i32* gtle,
+                   const i32* gscore, const i32* rnd) {
+    Batch* B = (Batch*)h;
+    const CsOpt& o = B->opt;
+    auto& pairs = side == 0 ? B->left : B->right;
+    i32 pen = side == 0 ? o.pen_clip5 : o.pen_clip3;
+    i64 idx = 0;
+    for (auto& p : pairs) {
+        if (!p.pending) continue;
+        i64 i = idx++;
+        i32 w = w0 << rnd[i];
+        RegC& a = B->reads[p.read].regs[p.regid];
+        a.score = score[i];
+        if (side == 0) {
+            if (gscore[i] <= 0 || gscore[i] <= a.score - pen) {
+                a.qb -= qle[i]; a.rb -= tle[i];
+                a.truesc = a.score;
+            } else {
+                a.qb = 0; a.rb -= gtle[i];
+                a.truesc = gscore[i];
+            }
+        } else {
+            if (gscore[i] <= 0 || gscore[i] <= a.score - pen) {
+                a.qe += qle[i]; a.re += tle[i];
+                a.truesc += a.score - p.h0;
+            } else {
+                a.qe = (i32)B->reads[p.read].query.size();
+                a.re += gtle[i];
+                a.truesc += gscore[i] - p.h0;
+            }
+        }
+        a.w = std::max(a.w, w);
+        seedcov_of(&B->reads[p.read], &a);
+        p.pending = 0;
+    }
 }
 
 void cs_apply_round(void* h, i32 side, i32 w, i32 last_round,

@@ -93,6 +93,40 @@ def test_pipeline_parity_device_engine(tiny_fm):
         assert m == g, f"record {i}:\n{m}\n{g}"
 
 
+def test_pipeline_parity_dual_engine(tiny_fm):
+    """The fused dual-round tail path (NativeTail use_dual: one export →
+    bsw_meta_dual → cs_apply_dual per side) must give byte-identical SAM
+    to the bwamem golden — covers the on-device band-retry acceptance
+    end-to-end."""
+    import os
+    from compseed_tpu.io.fastq import read_fastq_chunks
+    from compseed_tpu.native import NativeTail
+    from compseed_tpu.ops.engine import device_seeder
+    from compseed_tpu.pipeline.align import align_chunk
+    from tests.conftest import FIXTURES
+
+    opt = MemOptions()
+    reads = []
+    for chunk in read_fastq_chunks(os.path.join(FIXTURES, "reads.fq"),
+                                   10_000_000):
+        reads.extend(chunk)
+    reads = reads[:120]
+    seeder = device_seeder(opt, tiny_fm)
+    engine = BswRunner(opt, np.array(opt.mat), use_pallas=True,
+                       dfi=seeder.dfi)
+    engine.interpret = True
+    tail = NativeTail(opt, tiny_fm)
+    align_chunk(opt, tiny_fm, reads, 0, engine=engine, seeder=seeder,
+                tail=tail)
+    assert engine.prof.get("engine_fetch"), "dual path was not exercised"
+    mine = "".join(r.sam for r in reads).splitlines(keepends=True)
+    golden = [l for l in
+              open(os.path.join(FIXTURES, "golden_bwamem.sam"))
+              if not l.startswith("@")]
+    for i, (m, g) in enumerate(zip(mine, golden)):
+        assert m == g, f"record {i}:\n{m}\n{g}"
+
+
 @pytest.mark.parametrize("state16", [False, True])
 def test_bsw_pallas_kernel_vs_xla(state16):
     """The Pallas TPU kernel (interpret mode on CPU) must be bit-identical
@@ -137,6 +171,95 @@ def test_bsw_pallas_kernel_vs_xla(state16):
         zdrop=opt.zdrop, interpret=True, state16=state16))
     for j in range(6):
         assert np.array_equal(ref[j], out[:, j]), j
+
+
+@pytest.mark.parametrize("meta_mode", ["pallas", "xla"])
+def test_run_meta_dual_vs_sequential_rounds(micro, meta_mode):
+    """run_meta_dual (both band rounds + the retry acceptance fused into
+    one device program, ops/bsw.py::bsw_meta_dual) must equal the
+    sequential two-round flow: round 0 at w, accept where score==prev or
+    max_off < (w>>1)+(w>>2) (comp_seed.cpp:1732-1767), round 1 at 2w for
+    the rest."""
+    import jax.numpy as jnp
+    from compseed_tpu.ops.device_index import to_device
+
+    seq, built, fm = micro
+    dfi = to_device(fm)
+    from compseed_tpu.index.build import unpack_pac
+    pac = unpack_pac(fm.pac, fm.l_pac)
+    l_pac = int(dfi.l_pac)
+    opt = MemOptions()
+    mat = np.array(fill_scmat(1, 4), dtype=np.int32)
+    rng = np.random.default_rng(123)
+
+    R, L = 16, 256
+    qarr = np.full((R, L), 4, np.uint8)
+    for i in range(R):
+        rl = int(rng.integers(40, 200))
+        qarr[i, :rl] = rng.integers(0, 4, rl)
+
+    n = 200
+    qmeta = np.zeros((n, 4), np.int32)
+    rmeta = np.zeros((n, 2), np.int64)
+    h0 = np.zeros(n, np.int32)
+    qbuf, rbuf = [], []
+    for p in range(n):
+        rid = int(rng.integers(0, R))
+        rev = int(rng.integers(0, 2))
+        qlen = int(rng.integers(1, 129))
+        if rev == 0:
+            q0 = int(rng.integers(0, L - qlen + 1))
+            q = qarr[rid, q0: q0 + qlen].copy()
+        else:
+            q0 = int(rng.integers(qlen - 1, L))
+            q = qarr[rid, q0 - qlen + 1: q0 + 1][::-1].copy()
+        tlen = 0 if p == 11 else int(rng.integers(1, 180))
+        if rev == 0:
+            r0 = int(rng.integers(0, 2 * l_pac - tlen))
+            gp = r0 + np.arange(tlen)
+        else:
+            r0 = int(rng.integers(tlen - 1, 2 * l_pac)) if tlen else 0
+            gp = r0 - np.arange(tlen)
+        fwd = gp < l_pac
+        pf = np.where(fwd, gp, 2 * l_pac - 1 - gp)
+        t = np.where(fwd, pac[pf], 3 - pac[pf]).astype(np.uint8)
+        qmeta[p] = (rid, q0, qlen, rev)
+        rmeta[p] = (r0, tlen)
+        h0[p] = int(rng.integers(1, 120))
+        qbuf.append(q)
+        rbuf.append(t)
+
+    qoff = np.zeros(n + 1, np.int64)
+    roff = np.zeros(n + 1, np.int64)
+    np.cumsum([len(q) for q in qbuf], out=qoff[1:])
+    np.cumsum([len(t) for t in rbuf], out=roff[1:])
+    flat_q = np.concatenate(qbuf)
+    flat_r = np.concatenate(rbuf) if roff[-1] else np.zeros(0, np.uint8)
+
+    rx = BswRunner(opt, mat, use_pallas=False)
+    w = 8   # narrow nominal band => many retries exercise round 1
+    pen = opt.pen_clip5
+    out0 = rx.run_flat(flat_q, qoff, flat_r, roff, h0, w, pen)
+    out1 = rx.run_flat(flat_q, qoff, flat_r, roff, h0, 2 * w, pen)
+    # prev: mix of -1 (fresh left ext) and == score0 (side-1-like, must
+    # accept round 0 via the score-unchanged clause even with max_off big)
+    prev = np.full(n, -1, np.int32)
+    prev[::5] = out0[0][::5]
+    accept0 = (out0[0] == prev) | (out0[5] < ((w >> 1) + (w >> 2)))
+    want = [np.where(accept0, out0[j], out1[j]) for j in range(6)]
+    want.append(np.where(accept0, 0, 1).astype(np.int32))
+
+    if meta_mode == "pallas":
+        rm = BswRunner(opt, mat, use_pallas=True, dfi=dfi)
+        rm.interpret = True
+    else:
+        rm = BswRunner(opt, mat, use_pallas=False, dfi=dfi)
+        rm.meta_xla = True
+    rm.set_query_context(jnp.asarray(qarr), L)
+    assert rm.supports_meta_dual
+    got = rm.run_meta_dual(qmeta, rmeta, h0, prev, w, pen)
+    for j in range(7):
+        assert np.array_equal(want[j], got[j]), j
 
 
 @pytest.mark.parametrize("meta_mode", ["pallas", "xla"])
