@@ -227,6 +227,10 @@ def main() -> None:
         "spread_pct": round(spread, 1),
         "bwt_hit_pct": round(bwt_hit, 2),
         "sal_merged_pct": round(sal_merged, 2),
+        # per-round BWT query->call decomposition (r1/r2 backward walks,
+        # r1/r2/r3 forward steps) — attributes the reuse vs the
+        # reference's 44.25% on this input (VERDICT r3 ask #3)
+        "bwt_rounds": stats.rounds,
         "seed_d2h_bytes_per_chunk": int(seeder.prof.get("d2h_bytes", 0)),
         # host-tail phase split, accumulated over the N_RUNS*2 timed
         # chunks (the chain/engine/finalize blind spot of round 2)

@@ -129,10 +129,8 @@ class ShardedSeeder(DeviceSeeder):
                     lrep, sflat, soff = self._splice_oracle(
                         sub, bad_reads, lrep, sflat, soff)
                 if stats is not None:
-                    stats.sal_queries += res["stotal"]
-                    stats.sal_calls += res["n_uniq"]
-                    stats.bwt_queries += res["npool"] + res["fq"]
-                    stats.bwt_calls += res["n_u"] + res["fc"]
+                    from compseed_tpu.ops.seeder2 import _accumulate_stats
+                    _accumulate_stats(stats, res)
             lsegs.append(lrep)
             ssegs.append((sflat, soff))
         if self.last_overflow:

@@ -184,9 +184,19 @@ def align_stream(opt: MemOptions, fm: FMIndex, chunk_iter, engine, seeder,
     host/device boundary.  on_done(chunk) is called in order.
 
     Returns the total number of reads processed."""
+    import collections
     import concurrent.futures as cf
+    import os
 
     paired = bool(opt.flag & 0x2)
+    # pipeline depth: how many chunks may be seeding ahead of the tail.
+    # Depth 2 keeps the device FIFO non-empty while the host runs
+    # finalize/SAM/encode between chunks — at depth 1 the device idled
+    # ~0.5 s per chunk waiting for the next seeding submission (measured
+    # r4: engine_fetch showed the queue draining).  The seed worker is
+    # one thread, so only one seeding's device intermediates are live at
+    # a time; the extra cost is one more read-matrix snapshot.
+    depth = max(1, int(os.environ.get("COMPSEED_PIPE_DEPTH", "2")))
 
     def seed(reads):
         queries = [encode_read(r.seq) for r in reads]
@@ -199,19 +209,19 @@ def align_stream(opt: MemOptions, fm: FMIndex, chunk_iter, engine, seeder,
         return queries, out, ctx
 
     with cf.ThreadPoolExecutor(max_workers=1) as ex:
-        pending = None   # (reads, future, base)
+        pending = collections.deque()   # (reads, future, base)
         total = 0
         for chunk in chunk_iter:
             fut = ex.submit(seed, chunk)
             base = n_processed + total
             total += len(chunk)
-            if pending is not None:
-                _drain(opt, engine, tail, pending, paired, pes_override,
-                       rg_id, on_done)
-            pending = (chunk, fut, base)
-        if pending is not None:
-            _drain(opt, engine, tail, pending, paired, pes_override,
-                   rg_id, on_done)
+            if len(pending) >= depth:
+                _drain(opt, engine, tail, pending.popleft(), paired,
+                       pes_override, rg_id, on_done)
+            pending.append((chunk, fut, base))
+        while pending:
+            _drain(opt, engine, tail, pending.popleft(), paired,
+                   pes_override, rg_id, on_done)
     return total
 
 

@@ -30,12 +30,17 @@ class SeedingStats:
         self.bwt_calls = 0
         self.sal_queries = 0
         self.sal_calls = 0
+        # per-round decomposition of the BWT counters (VERDICT r3 ask:
+        # attribute the reuse gap): bwd walks r1/r2, fwd steps r1/r2/r3
+        self.rounds: dict[str, int] = {}
 
     def merge(self, other: "SeedingStats") -> None:
         self.bwt_queries += other.bwt_queries
         self.bwt_calls += other.bwt_calls
         self.sal_queries += other.sal_queries
         self.sal_calls += other.sal_calls
+        for k, v in other.rounds.items():
+            self.rounds[k] = self.rounds.get(k, 0) + v
 
 
 def collect_matches(fm: FMIndex, opt: MemOptions, q: np.ndarray,

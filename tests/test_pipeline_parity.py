@@ -127,3 +127,36 @@ def test_chunk_size_determinism(tiny_fm):
     a = run(300)
     b = run(128)
     assert a == b
+
+
+@pytest.mark.parametrize("depth", [1, 2, 3])
+def test_align_stream_depth_parity(tiny_fm, depth, monkeypatch):
+    """The overlapped chunk pipeline (align_stream) must produce the
+    same SAM at any pipeline depth (COMPSEED_PIPE_DEPTH): depth only
+    changes device-queue scheduling, never results or on_done order."""
+    from compseed_tpu.native import NativeTail
+    from compseed_tpu.ops.engine import device_engine, device_seeder
+    from compseed_tpu.pipeline.align import align_chunk, align_stream
+    from compseed_tpu.pipeline.seeding import SeedingStats
+
+    monkeypatch.setenv("COMPSEED_PIPE_DEPTH", str(depth))
+    opt = MemOptions()
+    reads = _load_reads("reads.fq", read_fastq_chunks)[:320]
+    seeder = device_seeder(opt, tiny_fm, dedup=True)
+    engine = device_engine(opt, tiny_fm, dfi=seeder.dfi)
+    tail = NativeTail(opt, tiny_fm)
+    chunks = [[r.__class__(**r.__dict__) for r in reads[s: s + 80]]
+              for s in range(0, 320, 80)]
+    done = []
+    st = SeedingStats()
+    n = align_stream(opt, tiny_fm, iter(chunks), engine, seeder, tail,
+                     on_done=done.extend, stats=st)
+    assert n == 320 and len(done) == 320
+    assert [r.name for r in done] == [r.name for r in reads]
+    assert st.bwt_queries > 0 and st.rounds.get("npool", 0) > 0
+
+    want = [r.__class__(**r.__dict__) for r in reads]
+    for s in range(0, 320, 80):
+        align_chunk(opt, tiny_fm, want[s: s + 80], s, engine=engine,
+                    seeder=seeder, tail=tail)
+    assert "".join(r.sam for r in done) == "".join(r.sam for r in want)
