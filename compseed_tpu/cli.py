@@ -427,12 +427,19 @@ def cmd_mem(argv: list[str]) -> int:
     if args.output:
         out.close()
     if args.verbose >= 3 and stats.bwt_queries:
+        # same wording as the reference's exit report (main.cpp:206-209)
         print(f"BWT-extend:  {stats.bwt_queries} queries, {stats.bwt_calls} "
-              f"calls, {100.0 * (stats.bwt_queries - stats.bwt_calls) / stats.bwt_queries:.2f} % merged",
+              f"calls, {100.0 * (stats.bwt_queries - stats.bwt_calls) / stats.bwt_queries:.2f} % hit in SST",
               file=sys.stderr)
         print(f"SA Lookup:   {stats.sal_queries} queries, {stats.sal_calls} "
               f"calls, {100.0 * (stats.sal_queries - stats.sal_calls) / stats.sal_queries:.2f} % merged",
               file=sys.stderr)
+        if stats.rounds:
+            r = stats.rounds
+            print("BWT rounds:  " + " ".join(
+                f"{k}={r.get(k, 0)}" for k in
+                ("npool", "n_u", "n2", "n_u2", "fq1", "fc1", "fq2",
+                 "fc2", "fq3", "fc3")), file=sys.stderr)
     if args.verbose >= 3 and tail is not None and tail.prof:
         split = " ".join(f"{k} {v:.2f}s" for k, v in tail.prof.items())
         print(f"Host tail:   {split}", file=sys.stderr)

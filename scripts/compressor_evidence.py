@@ -112,7 +112,7 @@ def main() -> int:
             capture_output=True, text=True, cwd=ROOT)
         t_ours = time.time() - t0
         oerr = p.stderr
-        m_hit2 = re.search(r"BWT-extend:.*?([\d.]+) % merged", oerr)
+        m_hit2 = re.search(r"BWT-extend:.*?([\d.]+) % hit", oerr)
         m_sal2 = re.search(r"SA Lookup:.*?([\d.]+) % merged", oerr)
         n_sam = 0
         if os.path.exists(out_sam):
