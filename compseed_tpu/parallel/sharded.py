@@ -66,17 +66,23 @@ class ShardedSeeder(DeviceSeeder):
         S = self.S
         per = -(-n_reads // S)               # reads per shard (ceil)
         R_shard = _bucket(max(per, 1), 256)
-        maxlen = max(len(q) for q in queries)
+        lens = np.fromiter((len(q) for q in queries), np.int64,
+                           count=n_reads)
+        maxlen = int(lens.max(initial=1))
         L = _round_up(maxlen + 1, 32)
         qarr = np.full((S * R_shard, L), 4, dtype=np.uint8)
         rlens = np.zeros(S * R_shard, dtype=np.int32)
-        row_map = np.zeros(max(n_reads, 1), dtype=np.int64)
-        for i, q in enumerate(queries):
-            s = i // per
-            row = s * R_shard + (i - s * per)
-            qarr[row, :len(q)] = q
-            rlens[row] = len(q)
-            row_map[i] = row
+        idx = np.arange(n_reads)
+        row_map = (idx // per) * R_shard + (idx - (idx // per) * per)
+        row_map = row_map.astype(np.int64) if n_reads else \
+            np.zeros(1, np.int64)
+        rlens[row_map[:n_reads]] = lens
+        flat = np.concatenate(queries) if n_reads else \
+            np.zeros(0, np.uint8)
+        rows = np.repeat(row_map[:n_reads], lens)
+        cols = np.arange(len(flat)) - np.repeat(
+            np.cumsum(lens) - lens, lens)
+        qarr[rows, cols] = flat
         step = self._build_sharded(R_shard, L)
         t0 = time.time()
         qd = jnp.asarray(qarr)

@@ -108,7 +108,8 @@ def main() -> int:
         out_sam = os.path.join(work, "ours.sam")
         p = subprocess.run(
             [sys.executable, "-m", "compseed_tpu.cli", "mem",
-             "-v", "3", "-o", out_sam, prefix, fq_ro],
+             "-v", "3", "-K", str(16384 * READ_LEN), "-o", out_sam,
+             prefix, fq_ro],
             capture_output=True, text=True, cwd=ROOT)
         t_ours = time.time() - t0
         oerr = p.stderr
