@@ -438,7 +438,7 @@ def cmd_mem(argv: list[str]) -> int:
             r = stats.rounds
             print("BWT rounds:  " + " ".join(
                 f"{k}={r.get(k, 0)}" for k in
-                ("npool", "n_u", "n2", "n_u2", "fq1", "fc1", "fq2",
+                ("bq1", "bc1", "bq2", "bc2", "fq1", "fc1", "fq2",
                  "fc2", "fq3", "fc3")), file=sys.stderr)
     if args.verbose >= 3 and tail is not None and tail.prof:
         split = " ".join(f"{k} {v:.2f}s" for k, v in tail.prof.items())

@@ -37,9 +37,11 @@ def _round_up(x: int, m: int) -> int:
 
 
 # scalar head of the result: [mtotal, stotal, n_uniq] + 11 overflow
-# flags + per-round BWT counters [n_pool, n_u, n2, n_u2,
-# fq1, fc1, fq2, fc2, fq3, fc3]
-N_SCAL = 24
+# flags + per-round BWT counters [n_pool, n_u, n2, n_u2 (walk volumes),
+# bq1, bc1, bq2, bc2 (backward steps), fq1, fc1, fq2, fc2, fq3, fc3
+# (forward steps)] — queries/calls are STEP-granular like the
+# reference's (comp_seed.cpp:81,123,151; SST.h bwt_call)
+N_SCAL = 28
 FWD_OVF_SLOTS = (2, 7, 10)       # oflags indices of the fwd-dedup flags
 BWD_OVF_SLOT = 3                 # backward (walk) dedup cap overflow
 R2_OVF_SLOT = 5                  # round-2 walk dedup cap overflow
@@ -77,7 +79,8 @@ def unpack_results(head: np.ndarray, seedpk: np.ndarray, R: int,
     oflags = scal[3:14]  # r1 pool/walk/fwd/bwd; r2 x4; merge; seeds; r3
     npool_h, nu_h = int(scal[14]), int(scal[15])
     n2_h, nu2_h = int(scal[16]), int(scal[17])
-    fq1, fc1, fq2, fc2, fq3, fc3 = (int(x) for x in scal[18:24])
+    bq1, bc1, bq2, bc2 = (int(x) for x in scal[18:22])
+    fq1, fc1, fq2, fc2, fq3, fc3 = (int(x) for x in scal[22:28])
     fq_h, fc_h = fq1 + fq2 + fq3, fc1 + fc2 + fc3
 
     # stotal can exceed the shipped columns only on a cap overflow, in
@@ -104,21 +107,23 @@ def unpack_results(head: np.ndarray, seedpk: np.ndarray, R: int,
                 oflags=oflags, bad=bad_h[:n_reads],
                 mtotal=mtotal_h, stotal=stotal_h, n_uniq=n_uniq_h,
                 npool=npool_h, n_u=nu_h, n2=n2_h, n_u2=nu2_h,
+                bq1=bq1, bc1=bc1, bq2=bq2, bc2=bc2,
                 fq=fq_h, fc=fc_h,
                 fq1=fq1, fc1=fc1, fq2=fq2, fc2=fc2, fq3=fq3, fc3=fc3)
 
 
 def _accumulate_stats(stats, res: dict) -> None:
-    """Fold one shard/chunk's counters into SeedingStats, including the
-    round-2 backward walks (the reference counts every SST query,
-    comp_seed.cpp:123 — omitting round 2 inflated the round-3 hit%) and
+    """Fold one shard/chunk's counters into SeedingStats at the
+    reference's granularity — one query per character-extension request,
+    one call per executed FM extension (comp_seed.cpp:81,123,151;
+    SST.h bwt_call) — for both directions and all three rounds, plus
     the per-round decomposition (VERDICT r3 ask #3)."""
     stats.sal_queries += res["stotal"]
     stats.sal_calls += res["n_uniq"]
-    stats.bwt_queries += res["npool"] + res["n2"] + res["fq"]
-    stats.bwt_calls += res["n_u"] + res["n_u2"] + res["fc"]
+    stats.bwt_queries += res["bq1"] + res["bq2"] + res["fq"]
+    stats.bwt_calls += res["bc1"] + res["bc2"] + res["fc"]
     r = stats.rounds
-    for key in ("npool", "n_u", "n2", "n_u2",
+    for key in ("npool", "n_u", "n2", "n_u2", "bq1", "bc1", "bq2", "bc2",
                 "fq1", "fc1", "fq2", "fc2", "fq3", "fc3"):
         r[key] = r.get(key, 0) + res[key]
 
@@ -265,6 +270,29 @@ class DeviceSeeder:
                 return ss.make_chain_memo(MEMO_H, MEMO_M, CW, dt_)
             return jnp.zeros(0, jnp.int32)     # inert pytree placeholder
 
+        def nonN_prefix(qarr):
+            """S with S[r, i] = # non-N bases of read r in [0, i) —
+            turns a walk span into its exact BWT-query count (the
+            reference counts one query per non-N character step,
+            comp_seed.cpp:123; an N kills the entry without a query)."""
+            R_ = qarr.shape[0]
+            nn = jnp.cumsum((qarr < 4).astype(i32), axis=1)
+            return jnp.concatenate(
+                [jnp.zeros((R_, 1), i32), nn], axis=1).reshape(-1)
+
+        def walk_steps(S_flat, pool_, death, valid):
+            """Sum of per-entry step counts: queries at i in
+            [max(death,0), pivot-1] where seq[i] < 4 (min_hits deaths
+            count their killing query; N deaths don't; a full walk to
+            -1 counts every non-N below the pivot)."""
+            Lp1 = jnp.asarray(L + 1, i32)
+            rid = pool_[:, 5].astype(i32)
+            piv = pool_[:, 4].astype(i32)
+            lo = jnp.maximum(death.astype(i32), 0)
+            base = rid * Lp1
+            span = S_flat[base + piv] - S_flat[base + lo]
+            return jnp.sum(jnp.where(valid, span, 0))
+
         @jax.jit
         def j_round1(fm, qarr, rlens):
             R_ = qarr.shape[0]
@@ -289,6 +317,7 @@ class DeviceSeeder:
                 fqc = fcc = jnp.asarray(0, i32)
                 bad = sovf != 0                       # per read
             dovf = jnp.asarray(False)
+            S_flat = nonN_prefix(qarr)
             if use_bwd:
                 # backward SST reuse: walk one representative per
                 # (interval, pivot, prefix) state, scatter the result
@@ -302,15 +331,20 @@ class DeviceSeeder:
                 fk = fk_r[group]
                 fs = fs_r[group]
                 fl = fl_r[group] - rep_pool[group, 1] + pool[:, 1]
+                bq1 = walk_steps(S_flat, pool, death, pool[:, 6] != 0)
+                bc1 = walk_steps(S_flat, rep_pool, death_r,
+                                 rep_pool[:, 6] != 0)
             else:
                 n_u = n_pool
                 death, fk, fl, fs, wovf = ss.walk_pool(fm, qflat, L, pool,
                                                        stages1)
+                bq1 = walk_steps(S_flat, pool, death, pool[:, 6] != 0)
+                bc1 = bq1
             ok, rid, k, l, s, beg, end = ss.reconstruct(
                 pool, death, fk, fl, fs, opt.min_seed_len, (5, 4))
             flags = jnp.stack([povf, wovf, fovf, dovf])  # chunk-global
             return (pool, ok, rid, k, l, s, beg, end, flags, bad,
-                    n_pool, n_u, fqc, fcc, memo)
+                    n_pool, n_u, fqc, fcc, bq1, bc1, memo)
 
         @jax.jit
         def j_round2(fm, qarr, rlens, ok, rid, k, s, beg, end, memo):
@@ -365,6 +399,7 @@ class DeviceSeeder:
             # adaptively (R2_OVF_SLOT); in memo mode round 2 already
             # re-uses round-1 chains, which supersedes this path.
             mh_rows = t_mh[tix].astype(i32)
+            S_flat2 = nonN_prefix(qarr)
             if r2_dedup:
                 ph2 = ss.prefix_hashes(qarr)
                 rep2, group2, n_u2, dovf2, rep_take2 = ss.dedup_pool(
@@ -377,15 +412,19 @@ class DeviceSeeder:
                 fs2 = fs_r[group2]
                 fl2 = fl_r[group2] - rep2[group2, 1] + pool2[:, 1]
                 povf2 = povf2 | dovf2
+                bq2 = walk_steps(S_flat2, pool2, death2, pool2[:, 6] != 0)
+                bc2 = walk_steps(S_flat2, rep2, death_r, rep2[:, 6] != 0)
             else:
                 n_u2 = n2
                 death2, fk2, fl2, fs2, wovf2 = ss.walk_pool(
                     fm, qflat, L, pool2, stages2, mh=mh_rows)
+                bq2 = walk_steps(S_flat2, pool2, death2, pool2[:, 6] != 0)
+                bc2 = bq2
             ok2, rid2, k2, l2, s2, beg2, end2 = ss.reconstruct(
                 pool2, death2, fk2, fl2, fs2, opt.min_seed_len, (7,))
             flags = jnp.stack([tovf, povf2, wovf2, fovf2])  # chunk-global
             return (ok2, rid2, k2, l2, s2, beg2, end2, flags, bad,
-                    fq2, fc2, n2, n_u2, memo)
+                    fq2, fc2, n2, n_u2, bq2, bc2, memo)
 
         @jax.jit
         def j_round3(fm, qarr, rlens, memo):
@@ -506,8 +545,8 @@ class DeviceSeeder:
         @jax.jit
         def j_pack(mok, mrid, ms, mbeg, mend, mtotal, rbeg, qb, ln,
                    stotal, n_uniq, seed_cnt, f1, f2, bad1, bad2, bad3,
-                   f4, f5, f6, n_pool, n_u, n2, n_u2, fq1, fc1, fq2, fc2,
-                   fq3, fc3):
+                   f4, f5, f6, n_pool, n_u, n2, n_u2, bq1, bc1, bq2, bc2,
+                   fq1, fc1, fq2, fc2, fq3, fc3):
             """Pack results into a scalar+per-read head and a bit-packed
             all-int32 seed matrix — every device->host transfer over the
             tunnel pays a large flat cost, so the host fetches exactly
@@ -532,6 +571,8 @@ class DeviceSeeder:
                            f6.astype(i32),
                            n_pool.astype(i32), n_u.astype(i32),
                            n2.astype(i32), n_u2.astype(i32),
+                           bq1.astype(i32), bc1.astype(i32),
+                           bq2.astype(i32), bc2.astype(i32),
                            fq1.astype(i32), fc1.astype(i32),
                            fq2.astype(i32), fc2.astype(i32),
                            fq3.astype(i32), fc3.astype(i32)])])
@@ -587,9 +628,9 @@ class DeviceSeeder:
             replicated index, like each kt_for thread owning a private
             SST over its tile, comp_seed.cpp:2541-2548)."""
             (pool, ok, rid, k, l, s, beg, end, ovf1, bad1, n_pool, n_u,
-             fqc, fcc, memo) = j_round1(fm, qd, rd)
+             fqc, fcc, bq1, bc1, memo) = j_round1(fm, qd, rd)
             r2 = j_round2(fm, qd, rd, ok, rid, k, s, beg, end, memo)
-            r3 = j_round3(fm, qd, rd, r2[13])
+            r3 = j_round3(fm, qd, rd, r2[15])
             merged = j_merge(ok, rid, k, l, s, beg, end, *r2[:7], *r3[:7])
             mok, mrid, mk, ml, ms, mbeg, mend, mtotal, movf = merged
             seeds = j_seeds(fm, mok, mrid, mk, ms, mbeg, mend)
@@ -597,8 +638,8 @@ class DeviceSeeder:
             return j_pack(mok, mrid, ms, mbeg, mend, mtotal, rbeg, qb, ln,
                           stotal, n_uniq, seed_cnt, ovf1, r2[7], bad1,
                           r2[8], r3[7], movf, sovf, r3[8], n_pool, n_u,
-                          r2[11], r2[12], fqc, fcc, r2[9], r2[10],
-                          r3[9], r3[10])
+                          r2[11], r2[12], bq1, bc1, r2[13], r2[14],
+                          fqc, fcc, r2[9], r2[10], r3[9], r3[10])
 
         fns = dict(r1=j_round1, r2=j_round2, r3=j_round3, merge=j_merge,
                    seeds=j_seeds, pack=j_pack, whole=whole, packed=packed,
@@ -634,9 +675,9 @@ class DeviceSeeder:
         self.last_qd = qd
         self.last_L = L
         (pool, ok, rid, k, l, s, beg, end, ovf1, bad1, n_pool, n_u,
-         fqc, fcc, memo) = fns["r1"](self.dfi, qd, rd)
+         fqc, fcc, bq1, bc1, memo) = fns["r1"](self.dfi, qd, rd)
         r2 = fns["r2"](self.dfi, qd, rd, ok, rid, k, s, beg, end, memo)
-        r3 = fns["r3"](self.dfi, qd, rd, r2[13])
+        r3 = fns["r3"](self.dfi, qd, rd, r2[15])
         merged = fns["merge"](ok, rid, k, l, s, beg, end,
                               *r2[:7], *r3[:7])
         mok, mrid, mk, ml, ms, mbeg, mend, mtotal, movf = merged
@@ -646,7 +687,8 @@ class DeviceSeeder:
                                      rbeg, qb, ln, stotal, n_uniq,
                                      seed_cnt, ovf1, r2[7], bad1, r2[8],
                                      r3[7], movf, sovf, r3[8], n_pool,
-                                     n_u, r2[11], r2[12], fqc, fcc,
+                                     n_u, r2[11], r2[12], bq1, bc1,
+                                     r2[13], r2[14], fqc, fcc,
                                      r2[9], r2[10], r3[9], r3[10])
 
         # ---- two fetches: the head (counters first) syncs, then only
@@ -769,9 +811,9 @@ class DeviceSeeder:
         qd = jnp.asarray(qarr)
         rd = jnp.asarray(rlens)
         (pool, ok, rid, k, l, s, beg, end, ovf1, bad1, n_pool, n_u,
-         fqc, fcc, memo) = fns["r1"](self.dfi, qd, rd)
+         fqc, fcc, bq1, bc1, memo) = fns["r1"](self.dfi, qd, rd)
         r2 = fns["r2"](self.dfi, qd, rd, ok, rid, k, s, beg, end, memo)
-        r3 = fns["r3"](self.dfi, qd, rd, r2[13])
+        r3 = fns["r3"](self.dfi, qd, rd, r2[15])
         merged = fns["merge"](ok, rid, k, l, s, beg, end,
                               *r2[:7], *r3[:7])
         mok, mrid, mk, ml, ms, mbeg, mend, mtotal, movf = merged

@@ -58,7 +58,8 @@ def main() -> int:
         span = int(args.reads * READ_LEN / args.coverage)
         span = min(span, len(genome) - READ_LEN - 8)
         base = (len(genome) - span) // 2
-        positions = rng.integers(base, base + span, size=args.reads)
+        positions = rng.integers(base, base + span - READ_LEN,
+                                 size=args.reads)
         # NOT sorted: raw sequencing order
         t0 = time.time()
         with open(fq_raw, "w") as f:

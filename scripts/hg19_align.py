@@ -105,7 +105,7 @@ def main() -> int:
     chunks_nt4 = []
     for w in range(args.windows):
         base = int((w + 0.5) * fm.l_pac / args.windows)
-        gw = unpack_pac_range(fm.pac, base, span)
+        gw = unpack_pac_range(fm.pac, base, base + span)
         chunks_nt4.append(simulate_window(rng, gw, per_w))
     reads_arr = np.concatenate(chunks_nt4)
 

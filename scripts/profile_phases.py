@@ -86,12 +86,12 @@ def main():
     t_r1 = qtime("r1 scan+walk(+dedup)", fns["r1"], dfi, qd, rd)
     r1 = fns["r1"](dfi, qd, rd)
     (pool, ok, rid, k, l, s, beg, end, ovf1, bad1, n_pool, n_u,
-     fqc, fcc, memo) = r1
+     fqc, fcc, bq1, bc1, memo) = r1
     t_r2 = qtime("r2 reseed", fns["r2"], dfi, qd, rd, ok, rid, k, s,
                  beg, end, memo)
     r2 = fns["r2"](dfi, qd, rd, ok, rid, k, s, beg, end, memo)
-    t_r3 = qtime("r3 greedy", fns["r3"], dfi, qd, rd, r2[13])
-    r3 = fns["r3"](dfi, qd, rd, r2[13])
+    t_r3 = qtime("r3 greedy", fns["r3"], dfi, qd, rd, r2[15])
+    r3 = fns["r3"](dfi, qd, rd, r2[15])
     t_mg = qtime("merge/lexsort", fns["merge"], ok, rid, k, l, s, beg,
                  end, *r2[:7], *r3[:7])
     merged = fns["merge"](ok, rid, k, l, s, beg, end, *r2[:7], *r3[:7])
@@ -102,8 +102,8 @@ def main():
     t_pk = qtime("pack blobs", fns["pack"], mok, mrid, ms, mbeg, mend,
                  merged[7], *seeds[:4], seeds[4], seeds[5], ovf1, r2[7],
                  bad1, r2[8], r3[7], merged[8], seeds[6], r3[8],
-                 n_pool, n_u, r2[11], r2[12], fqc, fcc, r2[9], r2[10],
-                 r3[9], r3[10])
+                 n_pool, n_u, r2[11], r2[12], bq1, bc1, r2[13], r2[14],
+                 fqc, fcc, r2[9], r2[10], r3[9], r3[10])
     total = t_r1 + t_r2 + t_r3 + t_mg + t_sd + t_pk
     print(f"{'TOTAL seeding':34s} {total * 1e3:9.2f} ms "
           f"({CHUNK / total:.0f} reads/s seeding-only)", flush=True)
@@ -114,10 +114,12 @@ def main():
           f"mems={int(merged[7])} seeds={int(seeds[3])} "
           f"sal_uniq={int(seeds[4])} fwd_q={fq_t} fwd_c={fc_t}",
           flush=True)
-    q_all = int(n_pool) + int(r2[11]) + fq_t
-    c_all = int(n_u) + int(r2[12]) + fc_t
-    print(f"decomp: r1_bwd {int(n_pool)}->{int(n_u)}  "
-          f"r2_bwd {int(r2[11])}->{int(r2[12])}  "
+    q_all = int(bq1) + int(r2[13]) + fq_t
+    c_all = int(bc1) + int(r2[14]) + fc_t
+    print(f"decomp: r1_bwd {int(bq1)}->{int(bc1)} "
+          f"(walks {int(n_pool)}->{int(n_u)})  "
+          f"r2_bwd {int(r2[13])}->{int(r2[14])} "
+          f"(walks {int(r2[11])}->{int(r2[12])})  "
           f"fwd r1 {int(fqc)}->{int(fcc)} r2 {int(r2[9])}->{int(r2[10])} "
           f"r3 {int(r3[9])}->{int(r3[10])}  "
           f"hit% {100.0 * (q_all - c_all) / max(q_all, 1):.2f}",
