@@ -160,7 +160,6 @@ def main() -> None:
     from compseed_tpu.io.fastq import Read
     from compseed_tpu.options import MemOptions
     from compseed_tpu.ops.engine import device_engine, device_seeder
-    from compseed_tpu.pipeline.align import align_chunk
     from compseed_tpu.pipeline.seeding import SeedingStats
     from compseed_tpu.utils import NT4_TO_ASCII
 
@@ -178,28 +177,38 @@ def main() -> None:
             NT4_TO_ASCII[arr[i]]).decode(), qual=None, comment=None)
             for i in range(len(arr))]
 
-    # warmup (compiles); cover BOTH timed chunks' shape buckets
     CHUNK = _CHUNK
-    for s0 in (0, CHUNK):
-        warm = mk_reads(reads_arr[s0: s0 + CHUNK], s0)
-        align_chunk(opt, fm, warm, s0, engine=engine, seeder=seeder,
-                    tail=tail)
 
-    # timed: stream 2 chunks through the overlapped pipeline (device
-    # seeds chunk k+1 while the host tail finishes chunk k), which is
-    # how production runs consume a -K chunked input; average N_RUNS
+    # timed: stream N_CHUNKS chunks through the overlapped pipeline
+    # (device seeds ahead while the host tail finishes chunk k), which
+    # is how production consumes a -K chunked input.  >=4 chunks so the
+    # depth-2 pipeline reaches steady state inside the timed region
+    # (with 2 chunks the stream is all ramp-up/drain).
     from compseed_tpu.pipeline.align import align_stream
     if tail is not None:
         tail.prof.clear()            # drop warmup chunks from the split
     getattr(engine, "prof", {}).clear()
-    n_timed = 2 * CHUNK
+    N_CHUNKS = int(os.environ.get("COMPSEED_BENCH_NCHUNKS", "4"))
+    n_timed = N_CHUNKS * CHUNK
     rates = []
     stats = SeedingStats()
     # Read-object creation is input parsing — production overlaps it in
     # the reader thread (cli align_stream), so it stays outside the
-    # timed region; .sam is overwritten each run
-    chunks_ro = [mk_reads(reads_arr[:CHUNK], 0),
-                 mk_reads(reads_arr[CHUNK: 2 * CHUNK], CHUNK)]
+    # timed region; .sam is overwritten each run.  Chunks beyond the
+    # simulated read set cycle it (distinct names/ids keep hash
+    # tie-breaking exercised); shape buckets are identical.
+    chunks_ro = []
+    for c in range(N_CHUNKS):
+        s0 = (c * CHUNK) % len(reads_arr)
+        chunks_ro.append(mk_reads(
+            np.concatenate([reads_arr[s0:], reads_arr[:s0]])[:CHUNK],
+            c * CHUNK))
+    # warmup: one full stream pass compiles every timed program/shape
+    align_stream(opt, fm, iter(list(chunks_ro)), engine, seeder, tail,
+                 on_done=lambda _: None, stats=SeedingStats())
+    if tail is not None:
+        tail.prof.clear()
+    getattr(engine, "prof", {}).clear()
     for run in range(N_RUNS):
         chunks = list(chunks_ro)
         done = []
