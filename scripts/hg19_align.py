@@ -87,7 +87,8 @@ def main() -> int:
     from compseed_tpu.io.fastq import Read
     from compseed_tpu.options import MemOptions
     from compseed_tpu.ops.device_index import to_device
-    from compseed_tpu.ops.engine import device_engine, device_seeder
+    from compseed_tpu.ops.engine import device_engine
+    from compseed_tpu.ops.seeder2 import DeviceSeeder
     from compseed_tpu.pipeline.align import align_stream
     from compseed_tpu.pipeline.seeding import SeedingStats
     from compseed_tpu.utils import NT4_TO_ASCII
@@ -121,15 +122,17 @@ def main() -> int:
           f"H2D {t_h2d:.0f} s", file=sys.stderr)
 
     opt = MemOptions()
-    seeder = device_seeder(opt, fm, dfi=dfi, dedup=True)
+    seeder = DeviceSeeder(opt, fm, dfi=dfi, dedup=True)
     engine = device_engine(opt, fm, dfi=dfi)
     from compseed_tpu.native import NativeTail
     tail = NativeTail(opt, fm)
 
     def mk_reads(arr, start):
+        # quals match what the parity leg writes into parity.fq — the
+        # QUAL column is part of the byte-compare
         return [Read(name=str(start + i), seq=bytes(
-            NT4_TO_ASCII[arr[i]]).decode(), qual=None, comment=None)
-            for i in range(len(arr))]
+            NT4_TO_ASCII[arr[i]]).decode(), qual="I" * READ_LEN,
+            comment=None) for i in range(len(arr))]
 
     CHUNK = args.chunk
     n = (len(reads_arr) // CHUNK) * CHUNK
