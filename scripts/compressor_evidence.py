@@ -75,12 +75,16 @@ def main() -> int:
                         f"{'I' * READ_LEN}\n")
         print(f"[evid] {args.reads} raw reads in {time.time()-t0:.0f} s",
               file=sys.stderr)
-        # ---- the compressor preprocessing step: our reorder stage
+        # ---- the compressor preprocessing step: our reorder stage.
+        # Write via tmp + rename so an interrupted run can't leave a
+        # truncated stream that a later run trusts.
         t0 = time.time()
+        tmp_ro = fq_ro + ".tmp"
         subprocess.run([sys.executable, "-m", "compseed_tpu.cli",
-                        "reorder", fq_raw, "-o", fq_ro],
+                        "reorder", fq_raw, "-o", tmp_ro],
                        check=True, cwd=ROOT,
                        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        os.replace(tmp_ro, fq_ro)
         t_reorder = time.time() - t0
         print(f"[evid] reorder: {t_reorder:.0f} s", file=sys.stderr)
 
