@@ -243,6 +243,10 @@ class DeviceSeeder:
         fwd_stages2 = [(T2, 8), (T2, 24), (T2, MAXW)]
         use_fwd = use_dedup and not self.fwd_disabled
         use_bwd = use_dedup and not self.bwd_disabled
+        # content-window backward dedup (walk_pool_dedup): position-
+        # independent state sharing; =0 selects the whole-walk keying
+        bwd_win = os.environ.get("COMPSEED_BWD_WIN", "1") == "1"
+        BWD_W = int(os.environ.get("COMPSEED_BWD_W", "8"))
 
         # COMPSEED_FWD_MEMO=1 swaps the stage-synchronous forward dedup
         # for the cross-round extension-chain memo (ss.chain_scan): one
@@ -318,28 +322,36 @@ class DeviceSeeder:
                 bad = sovf != 0                       # per read
             dovf = jnp.asarray(False)
             S_flat = nonN_prefix(qarr)
-            if use_bwd:
-                # backward SST reuse: walk one representative per
-                # (interval, pivot, prefix) state, scatter the result
-                # to every duplicate (the SST hit, comp_seed.cpp:2265)
+            if use_bwd and bwd_win:
+                # backward SST reuse, content-window formulation: walks
+                # from DIFFERENT positions holding the same (interval,
+                # next-Wb-chars) state share one representative — the
+                # cross-read/cross-position sharing of the reference's
+                # backward trie (SST.h:72-92).  Position-keyed whole-
+                # walk dedup measured 0.01% step sharing on the 30x
+                # bench input; this captures the real overlap.
+                ph = ss.prefix_hashes(qarr)
+                death, fk, fl, fs, wovf, bc1, n_u = ss.walk_pool_dedup(
+                    fm, qflat, ph, L, pool, stages_u, Wb=BWD_W)
+                bq1 = walk_steps(S_flat, pool, death, pool[:, 6] != 0)
+            elif use_bwd:
+                # whole-walk dedup: one representative per (interval,
+                # pivot, prefix) state (exact-duplicate reads only)
                 ph = ss.prefix_hashes(qarr)
                 rep_pool, group, n_u, dovf, _ = ss.dedup_pool(pool, ph,
                                                               CAP_U)
-                death_r, fk_r, fl_r, fs_r, wovf = ss.walk_pool(
+                death_r, fk_r, fl_r, fs_r, wovf, bc1 = ss.walk_pool(
                     fm, qflat, L, rep_pool, stages_u)
                 death = death_r[group]
                 fk = fk_r[group]
                 fs = fs_r[group]
                 fl = fl_r[group] - rep_pool[group, 1] + pool[:, 1]
                 bq1 = walk_steps(S_flat, pool, death, pool[:, 6] != 0)
-                bc1 = walk_steps(S_flat, rep_pool, death_r,
-                                 rep_pool[:, 6] != 0)
             else:
                 n_u = n_pool
-                death, fk, fl, fs, wovf = ss.walk_pool(fm, qflat, L, pool,
-                                                       stages1)
+                death, fk, fl, fs, wovf, bc1 = ss.walk_pool(
+                    fm, qflat, L, pool, stages1)
                 bq1 = walk_steps(S_flat, pool, death, pool[:, 6] != 0)
-                bc1 = bq1
             ok, rid, k, l, s, beg, end = ss.reconstruct(
                 pool, death, fk, fl, fs, opt.min_seed_len, (5, 4))
             flags = jnp.stack([povf, wovf, fovf, dovf])  # chunk-global
@@ -400,11 +412,17 @@ class DeviceSeeder:
             # re-uses round-1 chains, which supersedes this path.
             mh_rows = t_mh[tix].astype(i32)
             S_flat2 = nonN_prefix(qarr)
-            if r2_dedup:
+            if r2_dedup and bwd_win:
+                ph2 = ss.prefix_hashes(qarr)
+                death2, fk2, fl2, fs2, wovf2, bc2, n_u2 = \
+                    ss.walk_pool_dedup(fm, qflat, ph2, L, pool2,
+                                       stages_u2, Wb=BWD_W, mh=mh_rows)
+                bq2 = walk_steps(S_flat2, pool2, death2, pool2[:, 6] != 0)
+            elif r2_dedup:
                 ph2 = ss.prefix_hashes(qarr)
                 rep2, group2, n_u2, dovf2, rep_take2 = ss.dedup_pool(
                     pool2, ph2, CAP_U2, mh=mh_rows)
-                death_r, fk_r, fl_r, fs_r, wovf2 = ss.walk_pool(
+                death_r, fk_r, fl_r, fs_r, wovf2, bc2 = ss.walk_pool(
                     fm, qflat, L, rep2, stages_u2,
                     mh=mh_rows[rep_take2])
                 death2 = death_r[group2]
@@ -413,13 +431,11 @@ class DeviceSeeder:
                 fl2 = fl_r[group2] - rep2[group2, 1] + pool2[:, 1]
                 povf2 = povf2 | dovf2
                 bq2 = walk_steps(S_flat2, pool2, death2, pool2[:, 6] != 0)
-                bc2 = walk_steps(S_flat2, rep2, death_r, rep2[:, 6] != 0)
             else:
                 n_u2 = n2
-                death2, fk2, fl2, fs2, wovf2 = ss.walk_pool(
+                death2, fk2, fl2, fs2, wovf2, bc2 = ss.walk_pool(
                     fm, qflat, L, pool2, stages2, mh=mh_rows)
                 bq2 = walk_steps(S_flat2, pool2, death2, pool2[:, 6] != 0)
-                bc2 = bq2
             ok2, rid2, k2, l2, s2, beg2, end2 = ss.reconstruct(
                 pool2, death2, fk2, fl2, fs2, opt.min_seed_len, (7,))
             flags = jnp.stack([tovf, povf2, wovf2, fovf2])  # chunk-global

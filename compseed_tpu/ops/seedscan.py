@@ -196,6 +196,12 @@ def walk_stage(fm: DeviceFMIndex, qflat, L: int, max_steps: int, state,
         survive = alive & (base < 4) & (okc[:, 2] >= st["mh"])
         die = alive & ~survive
         st = dict(st)
+        # per-lane executed-extension count (the reference's bwt_call
+        # unit, SST.h): an mh-death still performed its killing call; an
+        # N/past-start death did not
+        if "steps" in st:
+            st["steps"] = st["steps"] + \
+                (alive & (base < 4)).astype(i32)
         st["death"] = jnp.where(die, i, st["death"])
         st["alive"] = survive
         st["k"] = jnp.where(survive, okc[:, 0], st["k"])
@@ -315,7 +321,9 @@ def walk_pool(fm: DeviceFMIndex, qflat, L: int, pool, stages, mh=None):
     extra steps at a stale width.  Walks per lane are deterministic, so
     the results are identical to the unstaged walk.
     mh: per-row min_hits (GP,) — 1 (round 1) if omitted.
-    Returns (death (GP,) i32, fk, fl, fs (GP,) dt, ovf).
+    Returns (death (GP,) i32, fk, fl, fs (GP,) dt, ovf, calls) where
+    calls is the executed-extension count (the reference's bwt_call
+    unit) summed over all walked lanes.
     """
     dt = fm.dtype
     i32 = jnp.int32
@@ -332,6 +340,7 @@ def walk_pool(fm: DeviceFMIndex, qflat, L: int, pool, stages, mh=None):
         mh=jnp.maximum(mh.astype(dt), 1),
         alive=valid,
         slot=jnp.where(valid, jnp.arange(GP, dtype=i32), -1),
+        steps=jnp.zeros(GP, i32),
     )
 
     death = jnp.full(GP, -2, i32)
@@ -339,6 +348,7 @@ def walk_pool(fm: DeviceFMIndex, qflat, L: int, pool, stages, mh=None):
     fl = pool[:, 1]
     fs = pool[:, 2]
     ovf = jnp.asarray(False)
+    calls = jnp.asarray(0, i32)
     budget = L + 2                      # a walk can't outlive its pivot
     t = jnp.asarray(0, i32)
 
@@ -356,10 +366,148 @@ def walk_pool(fm: DeviceFMIndex, qflat, L: int, pool, stages, mh=None):
         fk = fk.at[sl].set(jnp.where(finished, state["k"], 0), mode="drop")
         fl = fl.at[sl].set(jnp.where(finished, state["l"], 0), mode="drop")
         fs = fs.at[sl].set(jnp.where(finished, state["s"], 0), mode="drop")
+        calls = calls + jnp.sum(jnp.where(finished, state["steps"], 0))
+        state["steps"] = jnp.where(finished, 0, state["steps"])
         # finished lanes must not scatter again in later stages
         state["slot"] = jnp.where(finished, -1, state["slot"])
     ovf = ovf | jnp.any(state["alive"])
-    return death, fk, fl, fs, ovf
+    calls = calls + jnp.sum(state["steps"])
+    return death, fk, fl, fs, ovf, calls
+
+
+def _pow_u32(base: int, n: int) -> np.ndarray:
+    """[base^0 .. base^n] mod 2^32 as uint32."""
+    out = np.empty(n + 1, np.uint32)
+    v = 1
+    for i in range(n + 1):
+        out[i] = v
+        v = (v * base) & 0xFFFFFFFF
+    return out
+
+
+def walk_pool_dedup(fm: DeviceFMIndex, qflat, ph, L: int, pool, stages,
+                    Wb: int = 8, mh=None):
+    """Backward walks with CONTENT-WINDOW dedup — the cross-read,
+    cross-position sharing the reference's backward SST trie gets
+    (mapping/SST.h:72-92), which position-keyed whole-walk dedup cannot
+    capture (measured: 0.01% of steps shared on the 30x bench input,
+    because overlapping reads hold the same state at different pivots).
+
+    A walk's next Wb steps depend only on (interval k,s; the Wb
+    characters below its position; min_hits) — NOT on the absolute
+    position: the interval evolves by consumed content, l evolves in
+    lockstep modulo a constant offset, and death maps back through the
+    position difference.  So:
+
+      1. group ALL pool rows by (k, s, hash(window), wlen, mh) where
+         wlen = min(pivot, Wb);
+      2. walk one representative per group for up to Wb steps;
+      3. groups whose rep resolved inside the window adopt its outcome
+         (death shifted by the pivot delta, l shifted by the initial-l
+         delta);
+      4. surviving members re-enter at their post-window state and go
+         through the exact full-prefix dedup (dedup_pool keeps the
+         pivot in its key, so no shifts) + the fit-gated staged walk.
+
+    Short-window groups (pivot < Wb) always resolve in step 2: the rep
+    reaches position -1 within wlen steps, and wlen is in the key.
+    Exactness: same 64-bit double-hash content compare as dedup_pool;
+    (k, s, wlen, mh) compare exactly at group boundaries.
+
+    Returns (death, fk, fl, fs (GP,), ovf, calls, n_groups)."""
+    dt = fm.dtype
+    i32 = jnp.int32
+    u32 = jnp.uint32
+    GP = pool.shape[0]
+    R, Lh = ph.shape[0], ph.shape[1]
+    valid = pool[:, 6] != 0
+    rid = pool[:, 5].astype(i32)
+    piv = pool[:, 4].astype(i32)
+    mh_arr = jnp.ones(GP, dt) if mh is None else \
+        jnp.maximum(mh.astype(dt), 1)
+
+    # rolling-hash of the wlen chars below the pivot:  P[n] covers the
+    # first n chars (P[n] = ph[:, n-1]);  W(a,b) = P[b] - P[a]*M^(b-a)
+    pz = jnp.zeros((R, 1), ph.dtype)
+    P1 = jnp.concatenate([pz, ph[:, :, 0]], axis=1).reshape(-1)
+    P2 = jnp.concatenate([pz, ph[:, :, 1]], axis=1).reshape(-1)
+    wlen = jnp.minimum(piv, Wb)
+    bidx = rid * (Lh + 1)
+    hi1 = P1[bidx + piv]
+    hi2 = P2[bidx + piv]
+    lo1 = P1[bidx + piv - wlen]
+    lo2 = P2[bidx + piv - wlen]
+    pw1 = jnp.asarray(_pow_u32(0x01000193, Wb))[wlen]
+    pw2 = jnp.asarray(_pow_u32(0x9E3779B9, Wb))[wlen]
+    wh1 = hi1 - lo1 * pw1
+    wh2 = hi2 - lo2 * pw2
+
+    keys = [wh1, wh2, pool[:, 0], pool[:, 2], wlen, mh_arr]
+    mixes = [wh1, wh2,
+             (pool[:, 0] ^ (pool[:, 0] >> 31)).astype(u32),
+             (pool[:, 2] ^ (pool[:, 2] >> 31)).astype(u32),
+             wlen.astype(u32), mh_arr.astype(u32)]
+    CAP0 = stages[0][0]
+    rep_take, group, n_groups, ovf0 = _group_rows(keys, mixes, valid,
+                                                  CAP0)
+
+    # probe: one rep per group walks up to Wb steps
+    rp = pool[rep_take]
+    rep_valid = jnp.arange(CAP0, dtype=i32) < n_groups
+    st = dict(
+        k=rp[:, 0], l=rp[:, 1], s=rp[:, 2],
+        rid=rp[:, 5].astype(i32),
+        i=rp[:, 4].astype(i32) - 1,
+        death=jnp.full(CAP0, -2, i32),
+        mh=jnp.maximum(mh_arr[rep_take].astype(dt), 1),
+        alive=rep_valid,
+        slot=jnp.where(rep_valid, jnp.arange(CAP0, dtype=i32), -1),
+        steps=jnp.zeros(CAP0, i32),
+    )
+    st, _t = walk_stage(fm, qflat, L, Wb, st, t0=jnp.asarray(0, i32),
+                        fit=0)
+    calls = jnp.sum(st["steps"])
+
+    rep_done = ~st["alive"]
+    rl0 = rp[:, 1]
+    piv_rep = rp[:, 4].astype(i32)
+    shift = piv - piv_rep[group]
+    g_done = rep_done[group] & valid
+    death0 = st["death"][group] + shift
+    fk0 = st["k"][group]
+    fs0 = st["s"][group]
+    fl0 = st["l"][group] - rl0[group] + pool[:, 1]
+
+    # survivors: members continue from the rep's post-window state at
+    # their own (shifted) position, through the exact full-prefix path
+    g_live = (~rep_done)[group] & valid
+    cont_i = st["i"][group] + shift
+    cont_pool = jnp.stack([
+        st["k"][group],
+        st["l"][group] - rl0[group] + pool[:, 1],
+        st["s"][group],
+        pool[:, 3],
+        (cont_i + 1).astype(dt),
+        pool[:, 5],
+        g_live.astype(dt)], axis=1).astype(pool.dtype)
+    CAP1 = stages[1][0] if len(stages) > 1 else CAP0
+    rep2, group2, _n2, dovf, take2 = dedup_pool(cont_pool, ph, CAP1,
+                                                mh=mh_arr)
+    d2r, fk2r, fl2r, fs2r, wovf2, calls2 = walk_pool(
+        fm, qflat, L, rep2, stages[1:] if len(stages) > 1 else stages,
+        mh=mh_arr[take2])
+    death1 = d2r[group2]
+    fk1 = fk2r[group2]
+    fs1 = fs2r[group2]
+    fl1 = fl2r[group2] - rep2[group2, 1] + cont_pool[:, 1]
+
+    death = jnp.where(g_done, death0,
+                      jnp.where(g_live, death1, -2))
+    fk = jnp.where(g_done, fk0, jnp.where(g_live, fk1, pool[:, 0]))
+    fl = jnp.where(g_done, fl0, jnp.where(g_live, fl1, pool[:, 1]))
+    fs = jnp.where(g_done, fs0, jnp.where(g_live, fs1, pool[:, 2]))
+    ovf = ovf0 | dovf | wovf2
+    return death, fk, fl, fs, ovf, calls + calls2, n_groups
 
 
 def reconstruct(pool, death, fk, fl, fs, min_seed_len: int, group_cols):
@@ -1383,43 +1531,17 @@ def prefix_hashes(qarr):
     return jnp.stack([h1, h2], axis=-1)
 
 
-def dedup_pool(pool, ph, CAP_U: int, mh=None):
-    """Group pool rows whose walks must be identical; compact one
-    representative per group to the front.  mh (per-row min_hits) joins
-    the key when walks use varying thresholds (round 2).
+def _group_rows(keys, mixes, valid, CAP: int):
+    """Group rows by exact key equality; sort by ONE avalanched 32-bit
+    mix (a multi-key int64 lexsort costs tens of ms at pool width) and
+    compare every real key at the boundaries: a mix collision only
+    splits a group (one duplicate walk), never merges one.
 
-    Returns (rep_pool (CAP_U, 7), group (GP,) i32 mapping each row to its
-    representative, n_unique, ovf).
-    """
+    Returns (rep_take (CAP,) indices of one representative per group,
+    group (M,) mapping each row to its group index, n_unique, ovf)."""
     i32 = jnp.int32
     u32 = jnp.uint32
-    GP = pool.shape[0]
-    L = ph.shape[1]
-    valid = pool[:, 6] != 0
-    rid = pool[:, 5].astype(i32)
-    piv = pool[:, 4].astype(i32)
-    pcol = jnp.clip(piv - 1, 0, L - 1)
-    # flat 1D u32 gathers: 2D-indexed u64 gathers measured 30 ms each
-    # at pool width on this platform (2026-08-19)
-    pidx = rid * L + pcol
-    phf = ph.reshape(-1, 2)
-    hrow = jnp.where(piv > 0, phf[pidx, 0], u32(0))
-    hrow2 = jnp.where(piv > 0, phf[pidx, 1], u32(0))
-    # sort by ONE avalanched 32-bit mix of the full key — a 5-key int64
-    # lexsort costs tens of ms at pool width — and compare every real
-    # key at the boundaries below: a mix collision only splits a group
-    # (one duplicate walk), never merges one.  mh joins as an exact
-    # compare field (round 2's varying thresholds).
-    keys = [hrow, hrow2, pool[:, 0], pool[:, 2], piv]
-    if mh is not None:
-        keys.append(mh)
-    # 32-bit FOLDS feed the sort mix only; the boundary compare uses
-    # the exact native-dtype keys (a fold may not, at int64 scale)
-    mixes = [hrow, hrow2,
-             (pool[:, 0] ^ (pool[:, 0] >> 31)).astype(u32),
-             (pool[:, 2] ^ (pool[:, 2] >> 31)).astype(u32),
-             piv.astype(u32)] + \
-        ([mh.astype(u32)] if mh is not None else [])
+    M = valid.shape[0]
     gh = mixes[0]
     for i, x in enumerate(mixes[1:]):
         gh = (gh ^ (x * u32(0x9E3779B9 + 2 * i))) * u32(0x85EBCA6B)
@@ -1437,14 +1559,49 @@ def dedup_pool(pool, ph, CAP_U: int, mh=None):
     head = vs & diff
     gidx_sorted = jnp.cumsum(head.astype(i32)) - 1     # group per sortpos
     n_u = jnp.sum(head.astype(i32))
-    ovf = n_u > CAP_U
-    rep_take = jnp.zeros(CAP_U, i32).at[
-        jnp.where(head & (gidx_sorted < CAP_U), gidx_sorted, CAP_U)].set(
+    ovf = n_u > CAP
+    rep_take = jnp.zeros(CAP, i32).at[
+        jnp.where(head & (gidx_sorted < CAP), gidx_sorted, CAP)].set(
         order, mode="drop")
+    sortpos = jnp.zeros(M, i32).at[order].set(
+        jnp.arange(M, dtype=i32))
+    group = jnp.clip(gidx_sorted[sortpos], 0, CAP - 1)
+    return rep_take, group, n_u, ovf
+
+
+def dedup_pool(pool, ph, CAP_U: int, mh=None):
+    """Group pool rows whose walks must be identical; compact one
+    representative per group to the front.  mh (per-row min_hits) joins
+    the key when walks use varying thresholds (round 2).
+
+    Returns (rep_pool (CAP_U, 7), group (GP,) i32 mapping each row to its
+    representative, n_unique, ovf).
+    """
+    i32 = jnp.int32
+    u32 = jnp.uint32
+    L = ph.shape[1]
+    valid = pool[:, 6] != 0
+    rid = pool[:, 5].astype(i32)
+    piv = pool[:, 4].astype(i32)
+    pcol = jnp.clip(piv - 1, 0, L - 1)
+    # flat 1D u32 gathers: 2D-indexed u64 gathers measured 30 ms each
+    # at pool width on this platform (2026-08-19)
+    pidx = rid * L + pcol
+    phf = ph.reshape(-1, 2)
+    hrow = jnp.where(piv > 0, phf[pidx, 0], u32(0))
+    hrow2 = jnp.where(piv > 0, phf[pidx, 1], u32(0))
+    keys = [hrow, hrow2, pool[:, 0], pool[:, 2], piv]
+    if mh is not None:
+        keys.append(mh)
+    # 32-bit FOLDS feed the sort mix only; the boundary compare uses
+    # the exact native-dtype keys (a fold may not, at int64 scale)
+    mixes = [hrow, hrow2,
+             (pool[:, 0] ^ (pool[:, 0] >> 31)).astype(u32),
+             (pool[:, 2] ^ (pool[:, 2] >> 31)).astype(u32),
+             piv.astype(u32)] + \
+        ([mh.astype(u32)] if mh is not None else [])
+    rep_take, group, n_u, ovf = _group_rows(keys, mixes, valid, CAP_U)
     rep_pool = pool[rep_take]
     rep_valid = (jnp.arange(CAP_U, dtype=i32) < n_u)
     rep_pool = rep_pool.at[:, 6].set(rep_valid.astype(pool.dtype))
-    sortpos = jnp.zeros(GP, i32).at[order].set(
-        jnp.arange(GP, dtype=i32))
-    group = jnp.clip(gidx_sorted[sortpos], 0, CAP_U - 1)
     return rep_pool, group, n_u, ovf, rep_take

@@ -31,9 +31,12 @@ run_prof () {  # name, chunk, env...
   local t0=$(date +%s)
   local txt
   txt=$(env "$@" timeout 7200 python scripts/profile_phases.py "$chunk" \
-        2>/dev/null | grep -E "TOTAL|volumes|decomp" | tr '\n' ';' | \
-        sed 's/"/\\"/g')
+        2>/tmp/ab_prof_err.log | grep -E "TOTAL|volumes|decomp" | \
+        tr '\n' ';' | sed 's/"/\\"/g')
   local dt=$(( $(date +%s) - t0 ))
+  if [ -z "$txt" ]; then
+    txt="ERR: $(tail -3 /tmp/ab_prof_err.log | tr '\n' ';' | sed 's/"/\\"/g')"
+  fi
   echo "{\"variant\": \"$name\", \"chunk\": $chunk, \"wall_s\": $dt, \"profile\": \"$txt\"}" >> "$OUT"
   echo "$name: $txt" >&2
 }

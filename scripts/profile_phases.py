@@ -165,7 +165,7 @@ def main():
 
     @jax.jit
     def j_recon(pool_, rp, grp, qarr, fm_):
-        death_r, fk_r, fl_r, fs_r, wovf = ss.walk_pool(
+        death_r, fk_r, fl_r, fs_r, wovf, _calls = ss.walk_pool(
             fm_, qarr.reshape(-1), Lb, rp, stages_u)
         death = death_r[grp]
         fk = fk_r[grp]
