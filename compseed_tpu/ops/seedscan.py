@@ -464,8 +464,17 @@ def walk_pool_dedup(fm: DeviceFMIndex, qflat, ph, L: int, pool, stages,
         slot=jnp.where(rep_valid, jnp.arange(CAP0, dtype=i32), -1),
         steps=jnp.zeros(CAP0, i32),
     )
+    # fit-gated like every other stage: the probe may stop before Wb
+    # steps once the live count fits two caps down — reps dead by then
+    # adopt as usual, and survivors continue exactly through the
+    # full-prefix path from wherever the probe stopped (their remaining
+    # window chars are part of the full-prefix key).  Gating at
+    # stages[1] would exit before any sharing is captured; stages[2]
+    # keeps the probe in the death-heavy early steps without paying the
+    # full fixed Wb at pool width.
+    fit0 = stages[2][0] if len(stages) > 2 else 0
     st, _t = walk_stage(fm, qflat, L, Wb, st, t0=jnp.asarray(0, i32),
-                        fit=0)
+                        fit=fit0)
     calls = jnp.sum(st["steps"])
 
     rep_done = ~st["alive"]
