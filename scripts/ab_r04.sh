@@ -53,6 +53,7 @@ case "${1:-all}" in
     run_prof chunk64k 65536
     ;;
   bench)
+    run_bench chain_w6_e2e COMPSEED_CHAIN_W=6
     run_bench bsw_i16 COMPSEED_BSW_I16=1
     run_bench chunk32k COMPSEED_BENCH_CHUNK=32768
     run_bench depth3 COMPSEED_PIPE_DEPTH=3
