@@ -182,11 +182,12 @@ class DeviceSeeder:
         # selects the staged engine for A/B.
         self.fwd_memo = \
             os.environ.get("COMPSEED_FWD_MEMO", "1") == "1"
-        # chain width: savings rise steeply as W shrinks (oracle sim on
-        # the bench input: 60%/45%/34%/31% at W=4/6/8/12) but rounds
-        # scale ~1/W; the right point is a TPU measurement (checkin
-        # script sweeps it)
-        self.chain_w = int(os.environ.get("COMPSEED_CHAIN_W", "8"))
+        # chain width: savings rise steeply as W shrinks but rounds
+        # scale ~1/W.  r4 hardware A/B (EVIDENCE/ab_r04.jsonl): W=6
+        # matches W=8 on both seeding time (1,430 vs ~1,430 ms/16k) and
+        # e2e (8,236 vs 8,268 reads/s, within the 1% spread) while
+        # lifting BWT-extend reuse 24.65% -> 35.81%; default 6.
+        self.chain_w = int(os.environ.get("COMPSEED_CHAIN_W", "6"))
         self.bwd_disabled = \
             os.environ.get("COMPSEED_BWD_DEDUP", "1") == "0"
         self._jits: dict = {}
