@@ -111,11 +111,20 @@ def main() -> int:
     if not args.skip_ours:
         t0 = time.time()
         out_sam = os.path.join(work, "ours.sam")
+        # whole-genome ~50x coverage with repeat arrays carries more
+        # pool/match volume per read than the 30x windowed bench — cap
+        # ratios sized for it, else every chunk takes the (slow) exact
+        # legacy fallback
+        env = {**os.environ,
+               "COMPSEED_GP_F": "54", "COMPSEED_CAPU_F": "36",
+               "COMPSEED_T2_F": "12", "COMPSEED_GP2_F": "24",
+               "COMPSEED_MEM_F": "16", "COMPSEED_SEED_F": "16",
+               "COMPSEED_U_F": "12"}
         p = subprocess.run(
             [sys.executable, "-m", "compseed_tpu.cli", "mem",
              "-v", "3", "-K", str(16384 * READ_LEN), "-o", out_sam,
              prefix, fq_ro],
-            capture_output=True, text=True, cwd=ROOT)
+            capture_output=True, text=True, cwd=ROOT, env=env)
         t_ours = time.time() - t0
         oerr = p.stderr
         m_hit2 = re.search(r"BWT-extend:.*?([\d.]+) % hit", oerr)
