@@ -52,7 +52,20 @@ def _roll32(x, amount):
 
 
 def _row_shift_right(x, fill):
-    """x[:, j] -> x[:, j-1] with column 0 = fill (lane-axis shift)."""
+    """x[:, j] -> x[:, j-1] with column 0 = fill (lane-axis shift).
+
+    For sub-32-bit x the select runs in int32: an i1 mask from an int32
+    comparison carries the (8,128)-tiled layout, which Mosaic cannot
+    relayout onto (16,128)-tiled int16 operands (jax 0.9.0 "Invalid
+    relayout ... replicated in destination but not in source")."""
+    if x.dtype.itemsize < 4:
+        rolled = pltpu.roll(x.astype(jnp.int32), _c(1), 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        if not hasattr(fill, "shape"):
+            fill = jnp.asarray(fill, jnp.int32)
+        else:
+            fill = fill.astype(jnp.int32)
+        return jnp.where(col == _c(0), fill, rolled).astype(x.dtype)
     rolled = _roll32(x, _c(1))
     col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     if not hasattr(fill, "shape"):
@@ -61,14 +74,17 @@ def _row_shift_right(x, fill):
 
 
 def _prefix_max(x, neg):
-    """Inclusive prefix max along axis 1 (log-shift scan)."""
+    """Inclusive prefix max along axis 1 (log-shift scan).  The column
+    iota is compared in x's dtype so the select mask shares x's Mosaic
+    vector layout (see _row_shift_right)."""
     n = x.shape[1]
-    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1).astype(x.dtype)
     s = 1
     negc = jnp.asarray(neg, x.dtype)
     while s < n:
         shifted = _roll32(x, _c(s))
-        x = jnp.maximum(x, jnp.where(col >= _c(s), shifted, negc))
+        x = jnp.maximum(x, jnp.where(col >= jnp.asarray(s, x.dtype),
+                                     shifted, negc))
         s <<= 1
     return x
 
@@ -79,14 +95,19 @@ def _kernel(o_del, e_del, o_ins, e_ins, zdrop, Q, T, sdt,
     i32 = jnp.int32
     oe_del = o_del + e_del
     oe_ins = o_ins + e_ins
-    # DP-state dtype: int16 halves VMEM traffic and doubles VPU packing
-    # when the runner has proven no value can leave [-2^15, 2^15) — the
+    # DP-state dtype: int16 halves the VMEM H/E-row traffic when the
+    # runner has proven no stored value can leave [-2^15, 2^15) — the
     # TPU analogue of the reference's 8-bit/16-bit kernel class split
-    # (mapping/bandedSWA.cpp:116 smithWaterman256_8 vs _16)
-    neg_s = -(1 << 14) if sdt == jnp.int16 else NEG
+    # (mapping/bandedSWA.cpp:116 smithWaterman256_8 vs _16).  STORAGE
+    # only: the v5e VPU has no 16-bit ALU (measured 2026-08-20: i16
+    # compare/maxsi/multiply all fail to legalize in Mosaic), so rows
+    # extend to int32 on load and truncate on store, and every
+    # computation and mask below is identical to the int32 path —
+    # state16 changes no numerics, only the scratch layout.
+    neg_s = NEG
 
     def _s(v):
-        return jnp.asarray(v, sdt)
+        return jnp.asarray(v, i32)
 
     qlens = qlen_ref[:].astype(i32)        # (LT, 1)
     tlens = tlen_ref[:].astype(i32)
@@ -94,15 +115,14 @@ def _kernel(o_del, e_del, o_ins, e_ins, zdrop, Q, T, sdt,
     w = w_ref[:].astype(i32)               # per-pair clamped band width
 
     col = jax.lax.broadcasted_iota(i32, (LT, Q), 1)
-    col_s = col.astype(sdt)
 
     # scoring follows the bwa_fill_scmat pattern (match a, mismatch -b,
     # ambiguous -1; bwa.c:135-144) — checked host-side by the runner
     qt = q_ref[:].astype(i32)              # (LT, Q)
     q_amb = qt > _c(3)
-    sc_a = mat_ref[0, 0].astype(sdt)
-    sc_b = mat_ref[0, 1].astype(sdt)
-    sc_n = mat_ref[0, 4].astype(sdt)
+    sc_a = mat_ref[0, 0].astype(i32)
+    sc_b = mat_ref[0, 1].astype(i32)
+    sc_n = mat_ref[0, 4].astype(i32)
 
     # first-row state (ksw.c:395-397).  All loop state lives in VMEM
     # scratch refs; the while loop carries only the scalar row index
@@ -122,8 +142,8 @@ def _kernel(o_del, e_del, o_ins, e_ins, zdrop, Q, T, sdt,
     st_ref[:, 8:9] = jnp.zeros((LT, 1), i32)           # broken
 
     def row_step(i):
-        h = hb_ref[:]
-        e = eb_ref[:]
+        h = hb_ref[:].astype(i32)        # ext on load (identity at i32)
+        e = eb_ref[:].astype(i32)
         stv = st_ref[:]                    # (LT, 16), one read
         beg = stv[:, 0:1]
         end = stv[:, 1:2]
@@ -162,14 +182,13 @@ def _kernel(o_del, e_del, o_ins, e_ins, zdrop, Q, T, sdt,
         # zero source at column beg (ksw's sequential F recurrence)
         t_shift = _row_shift_right(jnp.where(inb, t_ins, _s(neg_s)), neg_s)
         t_src = jnp.where(col == beg_i, _s(0), t_shift)
-        run = _prefix_max(t_src + col_s * _s(e_ins), neg_s)
-        f = run - col_s * _s(e_ins)
+        run = _prefix_max(t_src + col * _s(e_ins), neg_s)
+        f = run - col * _s(e_ins)
 
         h_new = jnp.maximum(jnp.maximum(M, e), f)
 
-        # row max and its LAST attaining column (ksw.c:437-438);
-        # reduce in int32 — Mosaic has no int16 reductions
-        h_band = jnp.where(inb, h_new, _s(0)).astype(i32)
+        # row max and its LAST attaining column (ksw.c:437-438)
+        h_band = jnp.where(inb, h_new, _c(0))
         m = jnp.max(h_band, axis=1, keepdims=True)
         mj = jnp.max(jnp.where((h_band == m) & inb, col, _c(-1)), axis=1,
                      keepdims=True)
@@ -177,7 +196,7 @@ def _kernel(o_del, e_del, o_ins, e_ins, zdrop, Q, T, sdt,
 
         # state update (width Q; entry `end` of the eh layout is virtual)
         h_sh = _row_shift_right(h_new, 0)
-        h_out = jnp.where(col == beg_i, h_first.astype(sdt),
+        h_out = jnp.where(col == beg_i, h_first,
                           jnp.where((col > beg_i) & (col <= end_i), h_sh, h))
         e_out = jnp.where(inb, e_new,
                           jnp.where(col == end_i, _s(0), e))
@@ -187,8 +206,7 @@ def _kernel(o_del, e_del, o_ins, e_ins, zdrop, Q, T, sdt,
         # to-query-end score (ksw.c:450-453)
         h1_last = jnp.where(
             empty, h_first,
-            jnp.max(jnp.where(col == end_i - _c(1), h_new.astype(i32),
-                              _c(neg_s)),
+            jnp.max(jnp.where(col == end_i - _c(1), h_new, _c(neg_s)),
                     axis=1, keepdims=True))
         at_qend = active & (end_i == qlens)
         upd_g = at_qend & (gscore <= h1_last)
@@ -214,7 +232,7 @@ def _kernel(o_del, e_del, o_ins, e_ins, zdrop, Q, T, sdt,
 
         # band shrink to the non-zero span (ksw.c:465-469); the virtual
         # entry at column end_i has h = h1_last, e = 0
-        nz = (h_out != _s(0)) | (e_out != _s(0))
+        nz = (h_out != _c(0)) | (e_out != _c(0))
         c1 = nz & (col >= beg_i) & (col < end_i)
         beg_new = jnp.min(jnp.where(c1, col, end_i), axis=1, keepdims=True)
         c2 = nz & (col >= beg_new) & (col <= end_i)
@@ -227,8 +245,8 @@ def _kernel(o_del, e_del, o_ins, e_ins, zdrop, Q, T, sdt,
         beg_o = jnp.where(keep, beg_new, beg)
         end_o = jnp.where(keep, end_new, end)
 
-        hb_ref[:] = h_out
-        eb_ref[:] = e_out
+        hb_ref[:] = h_out.astype(sdt)    # trunc on store (identity at i32)
+        eb_ref[:] = e_out.astype(sdt)
         st_ref[:] = jnp.concatenate(
             [beg_o, end_o, best_n, max_i_n, max_j_n, max_ie, gscore,
              max_off_n, broken_n, jnp.zeros((LT, 7), i32)], axis=1)
