@@ -478,10 +478,13 @@ class BswRunner:
                          (meta_env == "auto" and on_device and
                           not self.use_pallas))
         self.interpret = False       # CPU differential tests set True
-        # int16 DP state (halved VMEM traffic / doubled VPU packing);
+        # int16 DP state, STORAGE-only (the v5e VPU has no 16-bit ALU;
+        # rows ext/trunc at the VMEM boundary, compute stays int32);
         # applied per kernel class only when the score bounds prove no
         # overflow — the 8/16-bit class-split analogue of
-        # mapping/bandedSWA.cpp:116.  Opt-in until TPU-lowering-verified.
+        # mapping/bandedSWA.cpp:116.  Lowering-verified + SAM parity on
+        # chip; measured e2e-neutral (seeding-bound pipeline), so
+        # opt-in.
         self.state16 = os.environ.get("COMPSEED_BSW_I16", "0") == "1"
         # sub-phase timers for the tail's "engine" bucket (VERDICT r3
         # weak#1): pack = host numpy, call = jit dispatch (async),
