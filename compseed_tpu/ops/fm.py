@@ -112,6 +112,57 @@ def extend_batch(fm: DeviceFMIndex, ik: jax.Array, is_back: bool) -> jax.Array:
     return ok
 
 
+def _sel4(arr4, c):
+    """arr4[..., c] for per-lane c in [0,3] WITHOUT a gather op: a
+    4-way masked sum lowers to VPU selects (take_along_axis emits a
+    general gather, which pays this platform's per-op gather floor in
+    every step of the seeding walk loops)."""
+    c = c.astype(jnp.int32)
+    out = jnp.zeros(arr4.shape[:-1], arr4.dtype)
+    for b in range(4):
+        out = out + jnp.where(c == b, arr4[..., b],
+                              jnp.zeros_like(out))
+    return out
+
+
+def extend_sel_batch(fm: DeviceFMIndex, ik: jax.Array, c: jax.Array,
+                     is_back: bool) -> jax.Array:
+    """One-child bidirectional extension: extend_batch followed by
+    selecting child ``c`` per lane, fused — no (..., 4, 3) child
+    tensor, no take_along_axis gather, no L2 table gather.  ik: (..., 3)
+    bi-intervals, c: (...,) base codes in [0, 3] -> (..., 3).
+
+    Bit-exact vs extend_batch(fm, ik, is_back)[..., c, :] (the walk
+    loops' inner op; differentially tested in test_ops_fm)."""
+    dt = fm.dtype
+    ik = ik.astype(dt)
+    fwd = 1 - int(bool(is_back))
+    bwd = 1 - fwd
+    x = ik[..., fwd]
+    s = ik[..., 2]
+    tk, tl = _occ4_pair(fm, x - 1, x - 1 + s)
+    sizes = tl - tk                             # (..., 4)
+    c = c.astype(jnp.int32)
+    size_c = _sel4(sizes, c)
+    # L2 per-lane without the tiny-table gather
+    l2c = jnp.zeros(c.shape, dt)
+    for b in range(4):
+        l2c = l2c + jnp.where(c == b, fm.L2[b], jnp.zeros_like(l2c))
+    coord_f = l2c + 1 + _sel4(tk, c)
+    contains_primary = ((x <= fm.primary) &
+                        (x + s - 1 >= fm.primary)).astype(dt)
+    # coord_b(c) = ik[bwd] + primary-hole + sum of sizes of bases > c
+    above = jnp.zeros(c.shape, dt)
+    for b in range(1, 4):
+        above = above + jnp.where(c < b, sizes[..., b],
+                                  jnp.zeros_like(above))
+    coord_b = ik[..., bwd] + contains_primary + above
+    cols = [None, None, size_c]
+    cols[fwd] = coord_f
+    cols[bwd] = coord_b
+    return jnp.stack(cols, axis=-1)
+
+
 def inv_psi_batch(fm: DeviceFMIndex, k: jax.Array) -> jax.Array:
     """One LF step per lane (bwt_invPsi, bwt.c:53-59).  Requires k >= 0.
 

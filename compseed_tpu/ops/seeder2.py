@@ -147,7 +147,13 @@ class DeviceSeeder:
     # n_pool=23.2R, n_u=16.8R, n2=13.3R, mems=seeds=5.7R, sal_uniq=3.5R
     GP_F = int(os.environ.get("COMPSEED_GP_F", "36"))    # round-1 pool
     CAPU_F = int(os.environ.get("COMPSEED_CAPU_F", "24"))  # bwd-dedup reps
-    T2_F = int(os.environ.get("COMPSEED_T2_F", "8"))     # round-2 tasks
+    # round-2 task LANE width: tasks compact to T2L lanes before the
+    # re-seed scan (r4 measured occupancy at the old 8R width was
+    # 15.5% — 1.24R tasks — so every round-2 op paid 6.5x its useful
+    # width).  Overflow (> T2L tasks) flags and falls back like the
+    # other caps; 4R keeps >3x headroom over the bench mean.  The env
+    # name keeps its historical spelling for the sweep scripts.
+    T2L_F = int(os.environ.get("COMPSEED_T2_F", "4"))
     GP2_F = int(os.environ.get("COMPSEED_GP2_F", "16"))  # round-2 pool
     MEM_F = int(os.environ.get("COMPSEED_MEM_F", "8"))   # merged matches
     SEED_F = int(os.environ.get("COMPSEED_SEED_F", "8"))  # sampled seeds
@@ -204,7 +210,7 @@ class DeviceSeeder:
         dt = fm.dtype
         i32 = jnp.int32
         GP = self.GP_F * R
-        T2 = self.T2_F * R
+        T2 = self.T2L_F * R          # round-2 task lanes (see T2L_F)
         GP2 = self.GP2_F * R
         MEMCAP = self.MEM_F * R
         SEEDCAP = self.SEED_F * R
@@ -323,6 +329,7 @@ class DeviceSeeder:
                 bad = sovf != 0                       # per read
             dovf = jnp.asarray(False)
             S_flat = nonN_prefix(qarr)
+            rw = ss.packed_rev_windows(qarr)
             if use_bwd and bwd_win:
                 # backward SST reuse, content-window formulation: walks
                 # from DIFFERENT positions holding the same (interval,
@@ -333,7 +340,8 @@ class DeviceSeeder:
                 # bench input; this captures the real overlap.
                 ph = ss.prefix_hashes(qarr)
                 death, fk, fl, fs, wovf, bc1, n_u = ss.walk_pool_dedup(
-                    fm, qflat, ph, L, pool, stages_u, Wb=BWD_W)
+                    fm, qflat, ph, L, pool, stages_u, Wb=BWD_W,
+                    rwflat=rw)
                 bq1 = walk_steps(S_flat, pool, death, pool[:, 6] != 0)
             elif use_bwd:
                 # whole-walk dedup: one representative per (interval,
@@ -342,7 +350,7 @@ class DeviceSeeder:
                 rep_pool, group, n_u, dovf, _ = ss.dedup_pool(pool, ph,
                                                               CAP_U)
                 death_r, fk_r, fl_r, fs_r, wovf, bc1 = ss.walk_pool(
-                    fm, qflat, L, rep_pool, stages_u)
+                    fm, qflat, L, rep_pool, stages_u, rwflat=rw)
                 death = death_r[group]
                 fk = fk_r[group]
                 fs = fs_r[group]
@@ -351,7 +359,7 @@ class DeviceSeeder:
             else:
                 n_u = n_pool
                 death, fk, fl, fs, wovf, bc1 = ss.walk_pool(
-                    fm, qflat, L, pool, stages1)
+                    fm, qflat, L, pool, stages1, rwflat=rw)
                 bq1 = walk_steps(S_flat, pool, death, pool[:, 6] != 0)
             ok, rid, k, l, s, beg, end = ss.reconstruct(
                 pool, death, fk, fl, fs, opt.min_seed_len, (5, 4))
@@ -413,11 +421,13 @@ class DeviceSeeder:
             # re-uses round-1 chains, which supersedes this path.
             mh_rows = t_mh[tix].astype(i32)
             S_flat2 = nonN_prefix(qarr)
+            rw2 = ss.packed_rev_windows(qarr)
             if r2_dedup and bwd_win:
                 ph2 = ss.prefix_hashes(qarr)
                 death2, fk2, fl2, fs2, wovf2, bc2, n_u2 = \
                     ss.walk_pool_dedup(fm, qflat, ph2, L, pool2,
-                                       stages_u2, Wb=BWD_W, mh=mh_rows)
+                                       stages_u2, Wb=BWD_W, mh=mh_rows,
+                                       rwflat=rw2)
                 bq2 = walk_steps(S_flat2, pool2, death2, pool2[:, 6] != 0)
             elif r2_dedup:
                 ph2 = ss.prefix_hashes(qarr)
@@ -425,7 +435,7 @@ class DeviceSeeder:
                     pool2, ph2, CAP_U2, mh=mh_rows)
                 death_r, fk_r, fl_r, fs_r, wovf2, bc2 = ss.walk_pool(
                     fm, qflat, L, rep2, stages_u2,
-                    mh=mh_rows[rep_take2])
+                    mh=mh_rows[rep_take2], rwflat=rw2)
                 death2 = death_r[group2]
                 fk2 = fk_r[group2]
                 fs2 = fs_r[group2]
@@ -435,7 +445,7 @@ class DeviceSeeder:
             else:
                 n_u2 = n2
                 death2, fk2, fl2, fs2, wovf2, bc2 = ss.walk_pool(
-                    fm, qflat, L, pool2, stages2, mh=mh_rows)
+                    fm, qflat, L, pool2, stages2, mh=mh_rows, rwflat=rw2)
                 bq2 = walk_steps(S_flat2, pool2, death2, pool2[:, 6] != 0)
             ok2, rid2, k2, l2, s2, beg2, end2 = ss.reconstruct(
                 pool2, death2, fk2, fl2, fs2, opt.min_seed_len, (7,))

@@ -164,8 +164,28 @@ def make_scan(fm: DeviceFMIndex, L: int, capl: int, advance: bool):
 # backward walks (dense worklist, staged compaction)
 # ----------------------------------------------------------------------
 
+REV_W = 8             # chars per packed reverse window (= max SEG)
+
+
+def packed_rev_windows(qarr):
+    """rw[r, p] = 3-bit-packed codes q[p], q[p-1], ..., q[p-REV_W+1]
+    (positions below 0 read as 4), flattened.  A backward walk consumes
+    positions monotonically downward, so one window gather per
+    REV_W-step walk segment replaces a per-step qflat char gather —
+    the per-op gather floor is the unit cost of these loops."""
+    R, L = qarr.shape
+    ext = jnp.concatenate(
+        [jnp.full((R, REV_W - 1), 4, qarr.dtype), qarr],
+        axis=1).astype(jnp.uint32)
+    rw = jnp.zeros((R, L), jnp.uint32)
+    for j in range(REV_W):
+        rw = rw | (ext[:, (REV_W - 1 - j):(REV_W - 1 - j) + L]
+                   << np.uint32(3 * j))
+    return rw.reshape(-1)
+
+
 def walk_stage(fm: DeviceFMIndex, qflat, L: int, max_steps: int, state,
-               t0=None, fit: int = 0):
+               t0=None, fit: int = 0, rwflat=None):
     """Advance every live item by backward extensions until all are
     dead, max_steps total (across stages — t0 carries in), or — when
     ``fit`` > 0 — the live count fits a ``fit``-wide continuation (the
@@ -175,24 +195,32 @@ def walk_stage(fm: DeviceFMIndex, qflat, L: int, max_steps: int, state,
     state: dict of arrays over M lanes:
       k, l, s (dt); rid, i, death (i32); mh (dt, min_hits);
       alive (bool); slot (i32, original pool index; -1 = padding)
+
+    With ``rwflat`` (packed_rev_windows) the consumed chars decode from
+    ONE window gather per segment: a lane alive at local step t sits at
+    position i0 - t (i decrements exactly while alive; dead lanes mask
+    their base), so the decode is bit-exact vs the per-step gather.
     """
     dt = fm.dtype
     i32 = jnp.int32
 
-    def body(carry):
+    def body(tl, carry, rw=None, i0=None):
         t, st = carry
         alive = st["alive"]
         i = st["i"]
-        base = jnp.where(
-            i >= 0,
-            qflat[jnp.clip(st["rid"] * L + i, 0, qflat.shape[0] - 1)]
-            .astype(i32),
-            4)
+        if rw is None:
+            base = jnp.where(
+                i >= 0,
+                qflat[jnp.clip(st["rid"] * L + i, 0, qflat.shape[0] - 1)]
+                .astype(i32),
+                4)
+        else:
+            dec = ((rw >> (jnp.uint32(3) * tl.astype(jnp.uint32)))
+                   & jnp.uint32(7)).astype(i32)
+            base = jnp.where(i >= 0, dec, 4)
         c = jnp.clip(base, 0, 3)
         ik = jnp.stack([st["k"], st["l"], st["s"]], axis=-1)      # (M, 3)
-        ok = dfm.extend_batch(fm, ik, is_back=True)               # (M, 4, 3)
-        okc = jnp.take_along_axis(
-            ok, c[:, None, None].astype(i32), axis=1)[:, 0, :]    # (M, 3)
+        okc = dfm.extend_sel_batch(fm, ik, c, is_back=True)       # (M, 3)
         survive = alive & (base < 4) & (okc[:, 2] >= st["mh"])
         die = alive & ~survive
         st = dict(st)
@@ -215,12 +243,20 @@ def walk_stage(fm: DeviceFMIndex, qflat, L: int, max_steps: int, state,
     # tunnel-sync artifact — but segmenting amortizes loop carries).
     # The inner trip count is clamped so the walk never exceeds
     # max_steps (the old fixed-SEG version overshot).
-    SEG = max(1, min(8, max_steps))
+    SEG = max(1, min(REV_W, max_steps))
 
     def seg_body(carry):
         t0_, st = carry
-        def inner(_, c):
-            return body(c)
+        if rwflat is None:
+            def inner(tl, c):
+                return body(jnp.asarray(tl, i32), c)
+        else:
+            i0 = st["i"]
+            idx = jnp.clip(st["rid"] * L + jnp.clip(i0, 0, L - 1),
+                           0, rwflat.shape[0] - 1)
+            rw = rwflat[idx]
+            def inner(tl, c):
+                return body(jnp.asarray(tl, i32), c, rw=rw, i0=i0)
         return jax.lax.fori_loop(
             jnp.asarray(0, i32),
             jnp.minimum(jnp.asarray(SEG, i32),
@@ -309,7 +345,8 @@ def build_pool(lep, cnt, GP: int):
     return pool, n, ovf
 
 
-def walk_pool(fm: DeviceFMIndex, qflat, L: int, pool, stages, mh=None):
+def walk_pool(fm: DeviceFMIndex, qflat, L: int, pool, stages, mh=None,
+              rwflat=None):
     """Run the staged backward walks for every valid pool row.
 
     pool: (GP, 7) as from build_pool; rows with pivot == 0 die on their
@@ -358,7 +395,8 @@ def walk_pool(fm: DeviceFMIndex, qflat, L: int, pool, stages, mh=None):
             state, o = compact_state(state, cap)
             ovf = ovf | o               # never fires: exit is fit-gated
         fit = caps[idx + 1] if idx + 1 < len(caps) else 0
-        state, t = walk_stage(fm, qflat, L, budget, state, t0=t, fit=fit)
+        state, t = walk_stage(fm, qflat, L, budget, state, t0=t, fit=fit,
+                              rwflat=rwflat)
         finished = (~state["alive"]) & (state["slot"] >= 0)
         sl = jnp.where(finished, state["slot"], GP)
         death = death.at[sl].set(
@@ -386,7 +424,7 @@ def _pow_u32(base: int, n: int) -> np.ndarray:
 
 
 def walk_pool_dedup(fm: DeviceFMIndex, qflat, ph, L: int, pool, stages,
-                    Wb: int = 8, mh=None):
+                    Wb: int = 8, mh=None, rwflat=None):
     """Backward walks with CONTENT-WINDOW dedup — the cross-read,
     cross-position sharing the reference's backward SST trie gets
     (mapping/SST.h:72-92), which position-keyed whole-walk dedup cannot
@@ -474,7 +512,7 @@ def walk_pool_dedup(fm: DeviceFMIndex, qflat, ph, L: int, pool, stages,
     # full fixed Wb at pool width.
     fit0 = stages[2][0] if len(stages) > 2 else 0
     st, _t = walk_stage(fm, qflat, L, Wb, st, t0=jnp.asarray(0, i32),
-                        fit=fit0)
+                        fit=fit0, rwflat=rwflat)
     calls = jnp.sum(st["steps"])
 
     rep_done = ~st["alive"]
@@ -504,7 +542,7 @@ def walk_pool_dedup(fm: DeviceFMIndex, qflat, ph, L: int, pool, stages,
                                                 mh=mh_arr)
     d2r, fk2r, fl2r, fs2r, wovf2, calls2 = walk_pool(
         fm, qflat, L, rep2, stages[1:] if len(stages) > 1 else stages,
-        mh=mh_arr[take2])
+        mh=mh_arr[take2], rwflat=rwflat)
     death1 = d2r[group2]
     fk1 = fk2r[group2]
     fs1 = fs2r[group2]
@@ -662,9 +700,7 @@ def _fwd_stage_walk(fm: DeviceFMIndex, qflat, nxtflat, L: int, B: int,
             4)
         c = 3 - jnp.clip(base, 0, 3)
         ik = jnp.stack([st["k"], st["l"], st["s"]], axis=-1)
-        ok = dfm.extend_batch(fm, ik, is_back=False)          # (U, 4, 3)
-        okc = jnp.take_along_axis(
-            ok, c[:, None, None].astype(i32), axis=1)[:, 0, :]
+        okc = dfm.extend_sel_batch(fm, ik, c, is_back=False)  # (U, 3)
         amb = base > 3
         if mode == "r3":
             # greedy round-3 segment (bwt_seed_strategy1, bwt.c:358-379):
@@ -1049,25 +1085,38 @@ def make_chain_memo(H: int, M: int, W: int, dt):
     near-free, and 64-bit multiplies are emulated): at W <= 10 the
     window content packs EXACTLY into one uint32 (3 bits per code,
     codes 0..4), so the key needs no 128-bit rolling hash at all —
-    matching is exact, not probabilistic.  The chain stores stay (M, W)
-    2D: the hot side is the consumer ROW gather (133k rows of W read
-    ~free where the flat 1D form costs 7 ms), while the insert is a
-    small U-row scatter."""
+    matching is exact, not probabilistic.
+
+    Round-5 packing: the whole table is ONE (H, 8) 2D array of the
+    index dtype — columns [window, l0, s0, k0, len, ptr, valid, pad] —
+    so a probe is ONE row gather and an insert ONE row scatter, where
+    the round-4 SoA layout paid seven separate gathers (each with this
+    platform's per-op gather floor) per while-loop round.  The chain
+    store likewise fuses (ck|cl|cs) into one (M, 3W) array: one
+    consumer row gather per round instead of three.  The u32 window
+    key is stored bijectively in the dt column (bitcast at 32-bit,
+    zero-extend at 64-bit), so matching stays exact."""
     zed = jnp.zeros
     assert H & (H - 1) == 0, "H must be a power of two"
     assert 3 * W <= 32, "chain window must pack into uint32 (W <= 10)"
     return dict(
-        tw=zed(H, jnp.uint32),
-        tl0=zed(H, dt), ts0=zed(H, dt), tk0=zed(H, dt),
-        tln=zed(H, jnp.int32), tp=zed(H, jnp.int32),
-        tv=zed(H, jnp.bool_),
-        ck=zed((M, W), dt), cl=zed((M, W), dt), cs=zed((M, W), dt),
+        tbl=zed((H, 8), dt),
+        cst=zed((M, 3 * W), dt),
         cur=jnp.asarray(0, jnp.int32),
     )
 
 
-MEMO_KEYS = ("tw", "tl0", "ts0", "tk0",
-             "tln", "tp", "tv", "ck", "cl", "cs", "cur")
+MEMO_KEYS = ("tbl", "cst", "cur")
+
+# tbl column indices
+_T_W, _T_L0, _T_S0, _T_K0, _T_LN, _T_P, _T_V = range(7)
+
+
+def _w_store(wv, dt):
+    """uint32 window key -> its bijective image in the table dtype."""
+    if np.dtype(dt).itemsize == 8:
+        return wv.astype(jnp.int64)
+    return jax.lax.bitcast_convert_type(wv, jnp.int32)
 
 
 def _slot_hash(wv, l, s, H: int):
@@ -1095,45 +1144,37 @@ def packed_windows(qarr, W: int):
     return win.reshape(-1)
 
 
-def _chain_walk(fm: DeviceFMIndex, qflat, L: int, W: int,
-                k, l, s, pos, rid, valid):
-    """W pure forward extensions from (k, l, s) at ``pos`` — the
-    mode-free unit the memo stores.  Recording stops at the first
-    ambiguous base (code > 3 or past the row), where every consumer
-    mode stops anyway; ln < W encodes that amb offset.  Returns
-    (ck, cl, cs (U, W) post-extension states, ln (U,))."""
+def _chain_walk(fm: DeviceFMIndex, bases, W: int, k, l, s, valid):
+    """W pure forward extensions from (k, l, s) over the pre-decoded
+    window characters ``bases`` (U, W) — the mode-free unit the memo
+    stores.  Recording stops at the first ambiguous base (code > 3),
+    where every consumer mode stops anyway; ln < W encodes that amb
+    offset.  The chars come decoded from the probe's packed-window
+    gather, so each step costs exactly ONE occ row gather
+    (extend_sel_batch) — the round-4 version paid three gathers per
+    step (qflat char + occ rows + take_along_axis child select).
+    Returns (ck, cl, cs (U, W) post-extension states, ln (U,))."""
     i32 = jnp.int32
-    dt = fm.dtype
     U = k.shape[0]
-
-    def body(j, carry):
-        k, l, s, ln, alive, ck, cl, cs = carry
-        p = pos + j
-        base = jnp.where(
-            p < jnp.asarray(L, i32),
-            qflat[jnp.clip(rid * L + p, 0,
-                           qflat.shape[0] - 1)].astype(i32),
-            4)
+    ln = jnp.zeros(U, i32)
+    alive = valid
+    ck, cl, cs = [], [], []
+    for j in range(W):                 # static unroll (W is 4..10)
+        base = bases[:, j].astype(i32)
         step = alive & (base <= 3)
         c = 3 - jnp.clip(base, 0, 3)
         ik = jnp.stack([k, l, s], axis=-1)
-        ok = dfm.extend_batch(fm, ik, is_back=False)          # (U, 4, 3)
-        okc = jnp.take_along_axis(
-            ok, c[:, None, None].astype(i32), axis=1)[:, 0, :]
+        okc = dfm.extend_sel_batch(fm, ik, c, is_back=False)   # (U, 3)
         k = jnp.where(step, okc[:, 0], k)
         l = jnp.where(step, okc[:, 1], l)
         s = jnp.where(step, okc[:, 2], s)
-        ck = ck.at[:, j].set(k)
-        cl = cl.at[:, j].set(l)
-        cs = cs.at[:, j].set(s)
+        ck.append(k)
+        cl.append(l)
+        cs.append(s)
         ln = ln + step.astype(i32)
-        return k, l, s, ln, step, ck, cl, cs
-
-    zed = jnp.zeros
-    init = (k, l, s, zed(U, i32), valid,
-            zed((U, W), dt), zed((U, W), dt), zed((U, W), dt))
-    out = jax.lax.fori_loop(0, W, body, init)
-    return out[5], out[6], out[7], out[3]
+        alive = step
+    return (jnp.stack(ck, axis=1), jnp.stack(cl, axis=1),
+            jnp.stack(cs, axis=1), ln)
 
 
 def _chain_seg_divs() -> tuple[int, ...]:
@@ -1192,8 +1233,8 @@ def chain_scan(fm: DeviceFMIndex, qarr, rlens, GP: int, memo: dict,
     n_lanes = R if rids is None else rids.shape[0]
     U = u_cap if u_cap is not None else max(n_lanes // 2, 64)
     U = min(U, n_lanes)
-    H = memo["tw"].shape[0]
-    M = memo["ck"].shape[0]
+    H = memo["tbl"].shape[0]
+    M = memo["cst"].shape[0]
     RCAP = 3 * L + 16
 
     qflat = qarr.reshape(-1)
@@ -1254,17 +1295,20 @@ def chain_scan(fm: DeviceFMIndex, qarr, rlens, GP: int, memo: dict,
         pc = jnp.clip(pos, 0, L + 1)
         wv = winflat[lane_rid * (L + 2) + pc]     # exact W-char window
 
-        # ---- probe the memo table (one gather per lane).  ALL hit
+        # ---- probe the memo table (ONE row gather per lane — the
+        # whole entry comes back in one (w, 8) fetch).  ALL hit
         # metadata is read here, BEFORE this round's inserts: a slot can
         # be evicted by an insert below, and a hit must apply the entry
         # it matched, not the new occupant.  (The chain STORE rows are
         # append-only, so the ptr gathered here stays valid.)
         slot = _slot_hash(wv, l, s, H)
-        hit = lalive & st["tv"][slot] & (st["tw"][slot] == wv) & \
-            (st["tl0"][slot] == l) & (st["ts0"][slot] == s)
-        ptr = jnp.clip(st["tp"][slot], 0, M - 1)
-        hk0 = st["tk0"][slot]
-        hln = st["tln"][slot]
+        wst = _w_store(wv, dt)
+        trow = st["tbl"][slot]                              # (w, 8)
+        hit = lalive & (trow[:, _T_V] != 0) & (trow[:, _T_W] == wst) & \
+            (trow[:, _T_L0] == l) & (trow[:, _T_S0] == s)
+        ptr = jnp.clip(trow[:, _T_P], 0, M - 1).astype(i32)
+        hk0 = trow[:, _T_K0]
+        hln = trow[:, _T_LN].astype(i32)
 
         # ---- group misses by the same (window, l, s) key.  Sorting by
         # the SLOT (one int32 argsort; the old 4-key int64 lexsort costs
@@ -1294,12 +1338,17 @@ def chain_scan(fm: DeviceFMIndex, qarr, rlens, GP: int, memo: dict,
         group = jnp.clip(gidx_sorted[sortpos], 0, Uw - 1)
         walked = miss & (gidx_sorted[sortpos] < jnp.minimum(n_u, Uw))
 
-        # ---- representatives walk one chain each
+        # ---- representatives walk one chain each; their window chars
+        # decode from the already-gathered packed key (no char gathers)
         rep_valid = (jnp.arange(Uw, dtype=i32) < jnp.minimum(n_u, Uw)) & \
             miss[rep_take]
+        rep_wv = wv[rep_take]
+        rep_bases = jnp.stack(
+            [(rep_wv >> np.uint32(3 * j)) & np.uint32(7)
+             for j in range(W)], axis=1).astype(i32)
         ck, cl, cs, ln = _chain_walk(
-            fm, qflat, L, W, k[rep_take], l[rep_take], s[rep_take],
-            pos[rep_take], lane_rid[rep_take], rep_valid)
+            fm, rep_bases, W, k[rep_take], l[rep_take], s[rep_take],
+            rep_valid)
         st = dict(st)
         st["fc"] = st["fc"] + jnp.sum(jnp.where(rep_valid, ln, 0),
                                       dtype=i32)
@@ -1321,30 +1370,30 @@ def chain_scan(fm: DeviceFMIndex, qarr, rlens, GP: int, memo: dict,
         keep = first & can
         tslot = jnp.where(keep, rslot, H)
         cidx = jnp.where(can, cptr, M)
-        st["ck"] = st["ck"].at[cidx].set(ck, mode="drop")
-        st["cl"] = st["cl"].at[cidx].set(cl, mode="drop")
-        st["cs"] = st["cs"].at[cidx].set(cs, mode="drop")
-        st["tw"] = st["tw"].at[tslot].set(wv[rep_take], mode="drop")
-        st["tl0"] = st["tl0"].at[tslot].set(l[rep_take], mode="drop")
-        st["ts0"] = st["ts0"].at[tslot].set(s[rep_take], mode="drop")
-        st["tk0"] = st["tk0"].at[tslot].set(k[rep_take], mode="drop")
-        st["tln"] = st["tln"].at[tslot].set(ln, mode="drop")
-        st["tp"] = st["tp"].at[tslot].set(cptr, mode="drop")
-        st["tv"] = st["tv"].at[tslot].set(True, mode="drop")
+        st["cst"] = st["cst"].at[cidx].set(
+            jnp.concatenate([ck, cl, cs], axis=1), mode="drop")
+        trows = jnp.stack(
+            [_w_store(rep_wv, dt), l[rep_take], s[rep_take],
+             k[rep_take], ln.astype(dt), cptr.astype(dt),
+             jnp.ones(Uw, dt), jnp.zeros(Uw, dt)], axis=1)
+        st["tbl"] = st["tbl"].at[tslot].set(trows, mode="drop")
         st["cur"] = st["cur"] + jnp.sum(can, dtype=i32)
 
-        # ---- apply: every lane consumes its chain (entry or rep walk)
+        # ---- apply: every lane consumes its chain (entry or rep walk);
+        # the store row comes back in ONE (w, 3W) gather
         memb = walked
         applied = hit | memb
+        crow = st["cst"][ptr]
 
-        def pick(tab, wbuf):
-            return jnp.where(hit[:, None], tab[ptr], wbuf[group])
+        def pick(lo, wbuf):
+            return jnp.where(hit[:, None],
+                             crow[:, lo * W:(lo + 1) * W], wbuf[group])
 
         src_k0 = jnp.where(hit, hk0, k[rep_take][group])
         src_ln = jnp.where(hit, hln, ln[group])
-        CK = pick(st["ck"], ck) + (k - src_k0)[:, None]
-        CL = pick(st["cl"], cl)
-        CS = pick(st["cs"], cs)
+        CK = pick(0, ck) + (k - src_k0)[:, None]
+        CL = pick(1, cl)
+        CS = pick(2, cs)
         prevk = jnp.concatenate([k[:, None], CK[:, :-1]], axis=1)
         prevl = jnp.concatenate([l[:, None], CL[:, :-1]], axis=1)
         prevs = jnp.concatenate([s[:, None], CS[:, :-1]], axis=1)

@@ -58,7 +58,7 @@ def main():
     i32 = jnp.int32
     GP = seeder.GP_F * Rb
     GP2 = seeder.GP2_F * Rb
-    T2 = seeder.T2_F * Rb
+    T2 = seeder.T2L_F * Rb
     CW = seeder.chain_w
     MEMO_M = (256 // CW) * Rb
     MEMO_H = 1 << (4 * MEMO_M - 1).bit_length()

@@ -52,6 +52,34 @@ def test_extend_batch(dev):
             assert np.array_equal(got[i], want), (i, is_back)
 
 
+def test_extend_sel_batch(dev):
+    """extend_sel_batch(ik, c) == extend_batch(ik)[:, c, :] for every
+    base and both directions (the fused one-child op the walk loops
+    use to avoid per-step gather floors)."""
+    seq, fm, dfi = dev
+    rng = np.random.default_rng(24)
+    iks = []
+    for _ in range(64):
+        plen = int(rng.integers(1, 8))
+        pos = int(rng.integers(0, len(seq) - plen))
+        pat = seq[pos: pos + plen]
+        ik = fo.set_intv(fm, int(pat[-1]))
+        for j in range(plen - 2, -1, -1):
+            nxt = fo.extend(fm, ik, 1)[int(pat[j])]
+            if nxt[2] == 0:
+                break
+            ik = nxt
+        iks.append(ik)
+    iks = np.stack(iks)
+    cs = rng.integers(0, 4, size=len(iks)).astype(np.int32)
+    for is_back in (0, 1):
+        full = np.asarray(dfm.extend_batch(dfi, jnp.asarray(iks), is_back))
+        got = np.asarray(dfm.extend_sel_batch(
+            dfi, jnp.asarray(iks), jnp.asarray(cs), is_back))
+        want = full[np.arange(len(iks)), cs]
+        assert np.array_equal(got, want), is_back
+
+
 def test_sa_batch(dev):
     seq, fm, dfi = dev
     rng = np.random.default_rng(23)
