@@ -219,6 +219,96 @@ class BuiltIndex:
     sa_sampled: np.ndarray   # uint64[n_sa], sa[0] == 2**64-1
 
 
+def build_index_blocked(fa_path: str, sa_intv: int = SA_INTV_DEFAULT,
+                        first_block: int = 1 << 30,
+                        block_size: int = 192 << 20) -> BuiltIndex:
+    """Low-memory twin of build_index: identical artifacts, bounded RSS.
+
+    The in-core path materializes the full 64-bit suffix array (~8
+    bytes/char — 50 GB at hg19's 6.2 G positions, 79.7 GB peak RSS).
+    This path covers the reference's large-genome capability
+    (bwt_bwtgen2 / BWTIncConstruct, FM_index/bwt_gen.c:1598,1299, the
+    `-a bwtsw` algorithm, ~10 GB for hg19) with a different algorithm:
+    SA-IS on the text's TAIL (first_block chars, in-core), then
+    rank-anchored block-prepend merges (csrc/bwtinc.cpp) for the rest,
+    and the reference's own inverse-Psi walk for the sampled SA
+    (bwt_cal_sa, FM_index/bwt.c:62-84).  Peak RSS ~= 9 x first_block
+    + ~6 bytes/char of merge state (~18 GB at hg19 defaults).
+
+    Byte-identical to build_index (differential tests; hg19 SHA256
+    manifest in EVIDENCE/hg19_index_manifest.md).
+    """
+    from compseed_tpu.native import (bwt_cal_sa_native,
+                                     bwt_merge_block_native,
+                                     suffix_array_native)
+
+    seqs = read_fasta(fa_path)
+    bns, fwd = pack_sequences(seqs)
+    l_pac = len(fwd)
+    seq_len = 2 * l_pac
+    pac = pack_pac(fwd)
+
+    def both_slice(lo: int, hi: int) -> np.ndarray:
+        """codes of (fwd ++ revcomp(fwd))[lo:hi] without materializing
+        the doubled text."""
+        out = np.empty(hi - lo, np.uint8)
+        a = min(max(l_pac - lo, 0), hi - lo)
+        if a > 0:
+            out[:a] = fwd[lo:lo + a]
+        if hi > l_pac:
+            r0 = max(lo, l_pac)
+            i_hi = 2 * l_pac - 1 - r0
+            i_lo = 2 * l_pac - hi
+            out[a:] = 3 - fwd[i_lo:i_hi + 1][::-1]
+        return out
+
+    # ---- tail block, in-core SA-IS
+    S0 = min(first_block, seq_len)
+    tail = both_slice(seq_len - S0, seq_len)
+    sa0 = suffix_array_native(tail)          # len S0+1, sa0[0] == S0
+    primary = int(np.argmin(sa0))
+    bwt0 = np.empty(S0, dtype=np.uint8)
+    out = 0
+    CH = 1 << 26
+    for i0 in range(0, len(sa0), CH):
+        blk = sa0[i0: i0 + CH]
+        nz = blk[blk != 0]
+        bwt0[out: out + len(nz)] = tail[nz - 1]
+        out += len(nz)
+    assert out == S0
+    del sa0
+    packed = pack_pac(bwt0)
+    del bwt0, tail
+    n = S0
+
+    # ---- prepend remaining blocks, back to front
+    lo = seq_len - S0
+    while lo > 0:
+        b0 = max(0, lo - block_size)
+        block = both_slice(b0, lo)
+        packed, primary = bwt_merge_block_native(packed, n, primary,
+                                                 block)
+        n += len(block)
+        lo = b0
+    assert n == seq_len
+
+    sa_sampled = bwt_cal_sa_native(packed, seq_len, primary, sa_intv)
+    bwt_codes = unpack_pac(packed, seq_len)
+    del packed
+
+    L2 = np.zeros(5, dtype=np.int64)
+    cnt_f = np.bincount(fwd, minlength=4)[:4].astype(np.int64)
+    L2[1:] = np.cumsum(cnt_f + cnt_f[::-1])  # both-strand counts
+    del fwd
+
+    cp = occ_checkpoints(bwt_codes)
+    return BuiltIndex(
+        bns=bns, pac=pac, primary=primary, L2=L2, seq_len=seq_len,
+        bwt_codes=bwt_codes, cp_occ=cp, sa_intv=sa_intv,
+        sa_sampled=sa_sampled,
+    )
+
+
 def build_index(fa_path: str, sa_intv: int = SA_INTV_DEFAULT) -> BuiltIndex:
     seqs = read_fasta(fa_path)
     bns, fwd = pack_sequences(seqs)

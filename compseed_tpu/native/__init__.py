@@ -20,6 +20,7 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 _SRC = os.path.join(_ROOT, "csrc", "compseed_host.cpp")
 _SRC_SAIS = os.path.join(_ROOT, "csrc", "sais.cpp")
+_SRC_BWTINC = os.path.join(_ROOT, "csrc", "bwtinc.cpp")
 _BUILD = os.path.join(_ROOT, "build")
 _SO = os.path.join(_BUILD, "libcompseed_host.so")
 
@@ -66,7 +67,8 @@ def _to_csopt(opt: MemOptions) -> CsOpt:
 
 def build_library(force: bool = False) -> str:
     os.makedirs(_BUILD, exist_ok=True)
-    src_mtime = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC_SAIS))
+    src_mtime = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC_SAIS),
+                    os.path.getmtime(_SRC_BWTINC))
     if force or not os.path.exists(_SO) or \
             os.path.getmtime(_SO) < src_mtime:
         # compile to a temp path then atomically rename: another live
@@ -74,7 +76,7 @@ def build_library(force: bool = False) -> str:
         # in place (SIGBUS for that process); rename keeps its inode
         tmp = f"{_SO}.tmp.{os.getpid()}"
         cmd = ["g++", "-O2", "-fPIC", "-shared", "-std=c++17", "-pthread",
-               "-o", tmp, _SRC, _SRC_SAIS]
+               "-o", tmp, _SRC, _SRC_SAIS, _SRC_BWTINC]
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(tmp, _SO)
     return _SO
@@ -133,6 +135,13 @@ def _load():
     lib.cs_batch_destroy.argtypes = [ct.c_void_p]
     lib.cs_sais_u8.restype = ct.c_int
     lib.cs_sais_u8.argtypes = [u8p, ct.c_int64, ct.c_int64, i64p]
+    u64p = ct.POINTER(ct.c_uint64)
+    lib.cs_bwt_merge_block.restype = ct.c_int
+    lib.cs_bwt_merge_block.argtypes = [u8p, ct.c_int64, ct.c_int64,
+                                       u8p, ct.c_int64, u8p, i64p]
+    lib.cs_bwt_cal_sa.restype = ct.c_int
+    lib.cs_bwt_cal_sa.argtypes = [u8p, ct.c_int64, ct.c_int64,
+                                  ct.c_int32, u64p]
     lib.cs_set_threads.restype = None
     lib.cs_set_threads.argtypes = [ct.c_int32]
     _lib = lib
@@ -402,3 +411,38 @@ def suffix_array_native(s: "np.ndarray", k: int = 5) -> "np.ndarray":
     if rc != 0:
         raise RuntimeError("sais failed")
     return sa
+
+
+def bwt_merge_block_native(bwt_packed: "np.ndarray", n: int, primary: int,
+                           block: "np.ndarray") -> tuple["np.ndarray", int]:
+    """Prepend `block` (nt4 codes 0..3) to the text whose $-removed BWT
+    is `bwt_packed` (pack_pac layout, n chars).  Returns (new packed
+    BWT of n+len(block) chars, new primary).  csrc/bwtinc.cpp — the
+    low-memory twin of the reference's BWTIncConstruct
+    (FM_index/bwt_gen.c:1299)."""
+    lib = _load()
+    m = len(block)
+    out = np.zeros((n + m + 3) // 4, dtype=np.uint8)
+    prim = np.zeros(1, dtype=np.int64)
+    rc = lib.cs_bwt_merge_block(
+        _ptr(np.ascontiguousarray(bwt_packed), ct.c_uint8), n, primary,
+        _ptr(np.ascontiguousarray(block, dtype=np.uint8), ct.c_uint8), m,
+        _ptr(out, ct.c_uint8), _ptr(prim, ct.c_int64))
+    if rc != 0:
+        raise RuntimeError(f"bwt_merge_block failed rc={rc}")
+    return out, int(prim[0])
+
+
+def bwt_cal_sa_native(bwt_packed: "np.ndarray", n: int, primary: int,
+                      sa_intv: int) -> "np.ndarray":
+    """Sampled suffix array from a finished BWT via the inverse-Psi
+    walk (bwt_cal_sa, FM_index/bwt.c:62-84); sa[0] == 2**64-1."""
+    lib = _load()
+    n_sa = (n + sa_intv) // sa_intv
+    out = np.zeros(n_sa, dtype=np.uint64)
+    rc = lib.cs_bwt_cal_sa(
+        _ptr(np.ascontiguousarray(bwt_packed), ct.c_uint8), n, primary,
+        sa_intv, _ptr(out, ct.c_uint64))
+    if rc != 0:
+        raise RuntimeError(f"bwt_cal_sa failed rc={rc}")
+    return out

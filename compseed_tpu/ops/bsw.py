@@ -492,8 +492,13 @@ class BswRunner:
         self.prof: dict[str, float] = {}
 
     def _use16(self, Q: int, h0max: int) -> bool:
-        """True when every int16 DP intermediate provably fits: H <=
-        h0 + Q*a, and the F prefix-scan adds col*e_ins on top."""
+        """True when every STORED int16 value provably fits.  Since the
+        storage-only rework (compute intermediates are int32; rows
+        ext/trunc only at the VMEM boundary) the binding bound is just
+        the stored H/E range, H <= h0 + Q*a.  The extra (Q-1)*e terms
+        below date from the all-int16-compute design and are kept as a
+        deliberately conservative margin — they only ever disable the
+        (measured e2e-neutral) storage optimization, never correctness."""
         if not self.state16:
             return False
         opt = self.opt

@@ -54,10 +54,14 @@ def _roll32(x, amount):
 def _row_shift_right(x, fill):
     """x[:, j] -> x[:, j-1] with column 0 = fill (lane-axis shift).
 
-    For sub-32-bit x the select runs in int32: an i1 mask from an int32
-    comparison carries the (8,128)-tiled layout, which Mosaic cannot
-    relayout onto (16,128)-tiled int16 operands (jax 0.9.0 "Invalid
-    relayout ... replicated in destination but not in source")."""
+    The sub-32-bit branch below is DEFENSIVE-ONLY: since the
+    storage-only int16 rework both call sites pass int32 values, so it
+    is never exercised.  It is kept because it encodes a real Mosaic
+    constraint for any future sub-32-bit caller: an i1 mask from an
+    int32 comparison carries the (8,128)-tiled layout, which Mosaic
+    cannot relayout onto (16,128)-tiled int16 operands (jax 0.9.0
+    "Invalid relayout ... replicated in destination but not in
+    source"), so the select must run in int32."""
     if x.dtype.itemsize < 4:
         rolled = pltpu.roll(x.astype(jnp.int32), _c(1), 1)
         col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)

@@ -71,6 +71,12 @@ def main() -> int:
     ap.add_argument("--verify", action="store_true",
                     help="also build with bwaidx and byte-compare")
     ap.add_argument("--workdir", default=None)
+    ap.add_argument("--blocked", action="store_true",
+                    help="low-memory blocked builder (build_index_blocked:"
+                         " SA-IS tail + rank-anchored merges, ~18 GB RSS"
+                         " at hg19 scale vs ~80 GB in-core)")
+    ap.add_argument("--first-block", type=int, default=1 << 30)
+    ap.add_argument("--block-size", type=int, default=192 << 20)
     args = ap.parse_args()
 
     import tempfile
@@ -83,11 +89,15 @@ def main() -> int:
         print(f"[hg19_scale] genome: {args.mbp} Mbp in "
               f"{time.time() - t0:.0f} s", flush=True)
 
-    from compseed_tpu.index.build import build_index
+    from compseed_tpu.index.build import build_index, build_index_blocked
     from compseed_tpu.index.io import save_index
 
     t0 = time.time()
-    built = build_index(fa)
+    if args.blocked:
+        built = build_index_blocked(fa, first_block=args.first_block,
+                                    block_size=args.block_size)
+    else:
+        built = build_index(fa)
     t_build = time.time() - t0
     save_index(os.path.join(tmp, "mine"), built)
     rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6

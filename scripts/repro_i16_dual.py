@@ -67,6 +67,11 @@ def main():
     meta[:, 1] = [rng.integers(0, L - q + 1) for q in meta[:, 2]]
     meta[:, 3] = 0                                          # rev
     meta[:, 6] = rng.integers(1, 120, n)                    # rlen
+    # NOTE: r0 ranges over the whole doubled pac, so a target window
+    # can straddle the forward/reverse midpoint — a configuration the
+    # real pipeline never produces (extensions stay on one strand).
+    # Fine for this script's purpose (lowering/compile repro); do not
+    # use its scores as a numeric oracle for strand-valid extensions.
     meta[:, 4] = [rng.integers(0, 2 * l_pac - t) for t in meta[:, 6]]
     meta[:, 7] = rng.integers(1, 40, n)                     # h0
     meta[:, 8] = -1                                         # prev

@@ -8,6 +8,47 @@ import pytest
 from tests.conftest import FIXTURES
 
 
+def _align_forward_step(dfi, qbatch, match_score=1, window_pad=32):
+    """Round-1 demo step (seeding -> SA -> ref fetch -> banded SW) used
+    only to exercise data_parallel_step with a real multi-stage
+    jittable; the production sharded path is parallel/sharded.py
+    (folded here from the retired compseed_tpu/pipeline/forward.py)."""
+    from functools import partial
+    import jax
+    import jax.numpy as jnp
+    from compseed_tpu.ops import fm as dfm
+    from compseed_tpu.ops import smem as dsmem
+    from compseed_tpu.ops.bsw import bsw_extend
+    from compseed_tpu.ops.ref import fetch_windows
+
+    B, L = qbatch.shape
+    i32 = jnp.int32
+    collect = jax.vmap(partial(dsmem._collect_one, dfi, L))
+    packed = collect(qbatch, jnp.zeros(B, i32), jnp.ones(B, i32),
+                     jnp.ones(B, jnp.bool_))
+    mems = packed[:, : dsmem.MMEM * 5].reshape(B, dsmem.MMEM, 5)
+    n_mems = packed[:, dsmem.MMEM * 5].astype(i32)
+    valid = jnp.arange(mems.shape[1])[None, :] < n_mems[:, None]
+    lens = jnp.where(valid, (mems[:, :, 4] - mems[:, :, 3]).astype(i32), -1)
+    best = jnp.argmax(lens, axis=1)
+    m = jnp.take_along_axis(mems, best[:, None, None], axis=1)[:, 0, :]
+    k, beg, end = m[:, 0], m[:, 3].astype(i32), m[:, 4].astype(i32)
+    seed_len = end - beg
+    rbeg = dfm.sa_batch(dfi, k)
+    W = L + 2 * window_pad
+    wbeg = rbeg - beg.astype(rbeg.dtype) - window_pad
+    windows = fetch_windows(dfi, wbeg, W)
+    from compseed_tpu.options import fill_scmat
+    mat = jnp.asarray(np.array(fill_scmat(match_score, 4),
+                               dtype=np.int32).reshape(5, 5))
+    scores, qle, tle, gtle, gscore, max_off = bsw_extend(
+        6, 1, 6, 1, 100, 5, match_score, mat, jnp.int32(100),
+        qbatch, jnp.full(B, L, i32), windows, jnp.full(B, W, i32),
+        jnp.maximum(seed_len * match_score, 1))
+    return scores, rbeg, seed_len
+
+
+
 def test_data_parallel_step_8dev(tiny_fm):
     import jax
     if len(jax.devices()) < 8:
@@ -15,7 +56,6 @@ def test_data_parallel_step_8dev(tiny_fm):
     import jax.numpy as jnp
     from compseed_tpu.ops.device_index import to_device
     from compseed_tpu.parallel.mesh import data_parallel_step, make_mesh
-    from compseed_tpu.pipeline.forward import align_forward_step
     from tests.test_ops_smem import _fixture_queries
 
     mesh = make_mesh(jax.devices()[:8])
@@ -25,7 +65,7 @@ def test_data_parallel_step_8dev(tiny_fm):
     qarr = np.full((16, L), 4, np.uint8)
     for i, q in enumerate(queries):
         qarr[i, :len(q)] = q
-    run = data_parallel_step(mesh, align_forward_step, dfi)
+    run = data_parallel_step(mesh, _align_forward_step, dfi)
     scores, rbegs, seed_lens = run(jnp.asarray(qarr))
     assert scores.shape == (16,)
     assert (np.asarray(seed_lens) > 0).all()
