@@ -250,8 +250,12 @@ class DeviceSeeder:
         fwd_stages2 = [(T2, 8), (T2, 24), (T2, MAXW)]
         use_fwd = use_dedup and not self.fwd_disabled
         use_bwd = use_dedup and not self.bwd_disabled
-        # content-window backward dedup (walk_pool_dedup): position-
-        # independent state sharing; =0 selects the whole-walk keying
+        # backward engine selection: chained rounds with per-round
+        # exact content grouping (walk_pool_chain, round-5 default);
+        # =0 falls back to the round-4 probe+staged-walk pair, itself
+        # switchable between content-window (BWD_WIN=1) and whole-walk
+        # keying — all bit-exact, kept for A/B.
+        bwd_chain = os.environ.get("COMPSEED_BWD_CHAIN", "1") == "1"
         bwd_win = os.environ.get("COMPSEED_BWD_WIN", "1") == "1"
         BWD_W = int(os.environ.get("COMPSEED_BWD_W", "8"))
 
@@ -330,7 +334,14 @@ class DeviceSeeder:
             dovf = jnp.asarray(False)
             S_flat = nonN_prefix(qarr)
             rw = ss.packed_rev_windows(qarr)
-            if use_bwd and bwd_win:
+            if use_bwd and bwd_chain:
+                # W-char chained rounds, one rep walk per (k, s,
+                # content-window) group per round (SST.h:72-92 sharing
+                # at chain granularity)
+                death, fk, fl, fs, wovf, bc1, n_u = ss.walk_pool_chain(
+                    fm, rw, L, pool, CAP_U)
+                bq1 = walk_steps(S_flat, pool, death, pool[:, 6] != 0)
+            elif use_bwd and bwd_win:
                 # backward SST reuse, content-window formulation: walks
                 # from DIFFERENT positions holding the same (interval,
                 # next-Wb-chars) state share one representative — the
@@ -422,7 +433,12 @@ class DeviceSeeder:
             mh_rows = t_mh[tix].astype(i32)
             S_flat2 = nonN_prefix(qarr)
             rw2 = ss.packed_rev_windows(qarr)
-            if r2_dedup and bwd_win:
+            if r2_dedup and bwd_chain:
+                death2, fk2, fl2, fs2, wovf2, bc2, n_u2 = \
+                    ss.walk_pool_chain(fm, rw2, L, pool2, CAP_U2,
+                                       mh=mh_rows)
+                bq2 = walk_steps(S_flat2, pool2, death2, pool2[:, 6] != 0)
+            elif r2_dedup and bwd_win:
                 ph2 = ss.prefix_hashes(qarr)
                 death2, fk2, fl2, fs2, wovf2, bc2, n_u2 = \
                     ss.walk_pool_dedup(fm, qflat, ph2, L, pool2,

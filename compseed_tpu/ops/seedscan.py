@@ -557,6 +557,200 @@ def walk_pool_dedup(fm: DeviceFMIndex, qflat, ph, L: int, pool, stages,
     return death, fk, fl, fs, ovf, calls + calls2, n_groups
 
 
+def walk_pool_chain(fm: DeviceFMIndex, rwflat, L: int, pool, CAPW: int,
+                    mh=None, W: int = REV_W, segs=(1, 4, 16)):
+    """Backward walks in W-char CHAINED ROUNDS with per-round exact
+    content grouping — the round-5 replacement for the staged per-step
+    walk (walk_pool/walk_pool_dedup).
+
+    Per round, every live walk is grouped by (k, s, the W chars below
+    its position packed exactly into one uint32); ONE representative
+    per group runs W backward extends (_chain_walk), and every member
+    evaluates its own death (min_hits or ambiguous char) on the shared
+    chain states lane-side.  Exactness is the mirror of the forward
+    chain memo's l-domain lemma: a backward step ranks at the k
+    coordinate, so (k, s, content) determines every k_j/s_j of the
+    chain while each member's l re-bases by its own offset.  The
+    position is NOT in the key — walks at different pivots sharing
+    content share work (the reference backward trie's sharing,
+    SST.h:72-92) — and neither is min_hits (stops are lane-side), so
+    sharing is strictly wider than walk_pool_dedup's.
+
+    vs the per-step walker this collapses W per-step select chains and
+    W char gathers into one round of each, and runs the extends at
+    representative width.  ~70% of walks die inside their first round
+    (walks <= 8 steps hold 69% of backward steps on the bench input),
+    so the lane width drops by `segs` divisors with rank-scatter
+    compaction exactly like chain_scan's segments.
+
+    pool: (GP, >=7) rows as from build_pool (cols k,l,s,end,pivot,rid,
+    valid[,task]).  Returns (death, fk, fl, fs (GP,), ovf, calls,
+    n_groups) — the walk_pool_dedup contract: death/final-state per
+    pool row bit-exact vs the per-step walker.
+    """
+    dt = fm.dtype
+    i32 = jnp.int32
+    u32 = jnp.uint32
+    GP = pool.shape[0]
+    valid = pool[:, 6] != 0
+    mh_all = jnp.ones(GP, dt) if mh is None else \
+        jnp.maximum(mh.astype(dt), 1)
+    n_valid = jnp.sum(valid, dtype=i32)
+    ovf = n_valid > CAPW
+    ALL4 = np.uint32(sum(4 << (3 * j) for j in range(REV_W)))
+
+    # stable rank-scatter compaction of valid rows into CAPW lanes
+    crank = jnp.cumsum(valid, dtype=i32) - 1
+    tgt = jnp.where(valid, crank, CAPW)
+
+    def compact(col, dtype=None):
+        z = jnp.zeros(CAPW, dtype if dtype is not None else col.dtype)
+        return z.at[tgt].set(col.astype(z.dtype), mode="drop")
+
+    st = dict(
+        k=compact(pool[:, 0]), l=compact(pool[:, 1]),
+        s=compact(pool[:, 2]),
+        rid=compact(pool[:, 5], i32),
+        i=compact(pool[:, 4].astype(i32) - 1, i32),
+        mh=compact(mh_all),
+        slot=compact(jnp.where(valid, jnp.arange(GP, dtype=i32), GP),
+                     i32),
+        alive=jnp.arange(CAPW, dtype=i32) < n_valid,
+        death=jnp.zeros(GP, i32) - 2,
+        fk=pool[:, 0], fl=pool[:, 1], fs=pool[:, 2],
+        calls=jnp.asarray(0, i32),
+        ngrp=jnp.asarray(0, i32),
+        rnd=jnp.asarray(0, i32),
+    )
+    RCAP = L + 2
+    jj = jnp.arange(W, dtype=i32)[None, :]
+
+    def make_body(w: int, Uw: int):
+      def body(st):
+        st = dict(st)
+        alive = st["alive"]
+        k, l, s, i = st["k"], st["l"], st["s"], st["i"]
+        idx = jnp.clip(st["rid"] * L + jnp.clip(i, 0, L - 1), 0,
+                       rwflat.shape[0] - 1)
+        rw = jnp.where(i >= 0, rwflat[idx], ALL4)
+
+        # ---- group by exact (window, k, s); sort on one 32-bit mix
+        # (collision only splits a group), boundary-compare full keys
+        mix = rw ^ ((k.astype(u32) ^ (k >> 31).astype(u32)) *
+                    u32(0x9E3779B9)) ^ \
+            ((s.astype(u32) ^ (s >> 31).astype(u32)) * u32(0x85EBCA6B))
+        mix = (mix ^ (mix >> u32(15))) * u32(0xC2B2AE35)
+        order = jnp.argsort(jnp.where(
+            alive, (mix >> u32(1)).astype(i32), jnp.iinfo(i32).max)
+        ).astype(i32)
+        vs = alive[order]
+        ko = [x[order] for x in (rw, k, s)]
+        diff = jnp.concatenate([
+            jnp.asarray([True]),
+            jnp.stack([x[1:] != x[:-1] for x in ko]).any(axis=0)])
+        head = vs & diff
+        gidx_sorted = jnp.cumsum(head, dtype=i32) - 1
+        n_u = jnp.sum(head, dtype=i32)
+        rep_take = jnp.zeros(Uw, i32).at[
+            jnp.where(head & (gidx_sorted < Uw), gidx_sorted, Uw)].set(
+            order, mode="drop")
+        sortpos = jnp.zeros(w, i32).at[order].set(
+            jnp.arange(w, dtype=i32))
+        group = jnp.clip(gidx_sorted[sortpos], 0, Uw - 1)
+        walked = alive & (gidx_sorted[sortpos] < jnp.minimum(n_u, Uw))
+
+        # ---- one representative per group walks backward extends,
+        # stopping at the group's smallest min_hits (the rep then
+        # executes exactly its longest-lived consumer's steps)
+        rep_valid = (jnp.arange(Uw, dtype=i32) <
+                     jnp.minimum(n_u, Uw)) & alive[rep_take]
+        big_mh = jnp.asarray(jnp.iinfo(i32).max, dt)
+        gmin = jax.ops.segment_min(
+            jnp.where(vs & (gidx_sorted < Uw), st["mh"][order], big_mh),
+            jnp.clip(gidx_sorted, 0, Uw - 1), num_segments=Uw)
+        rep_rw = rw[rep_take]
+        rep_bases = jnp.stack(
+            [(rep_rw >> np.uint32(3 * j)) & np.uint32(7)
+             for j in range(W)], axis=1).astype(i32)
+        ck, cl, cs, ln = _chain_walk(
+            fm, rep_bases, W, k[rep_take], l[rep_take], s[rep_take],
+            rep_valid, is_back=True, stop_s=gmin)
+        st["calls"] = st["calls"] + jnp.sum(
+            jnp.where(rep_valid, ln, 0), dtype=i32)
+        st["ngrp"] = st["ngrp"] + jnp.minimum(n_u, Uw)
+
+        # ---- every walked lane consumes the shared chain; k and s
+        # are group-identical, l re-bases by the member offset
+        CK = ck[group]
+        CS = cs[group]
+        CL = cl[group] + (l - l[rep_take][group])[:, None]
+        lng = ln[group]
+        real = jj < lng[:, None]
+        amb_here = (jj == lng[:, None]) & (lng[:, None] < W)
+        die_j = amb_here | (real & (CS < st["mh"][:, None]))
+        has_die = jnp.any(die_j, axis=1) & walked
+        dj = jnp.argmax(die_j, axis=1).astype(i32)
+        # state at the death = state BEFORE the killing step (the
+        # per-step walker does not update on the dying step)
+        prevK = jnp.concatenate([k[:, None], CK[:, :-1]], axis=1)
+        prevL = jnp.concatenate([l[:, None], CL[:, :-1]], axis=1)
+        prevS = jnp.concatenate([s[:, None], CS[:, :-1]], axis=1)
+        djc = dj[:, None]
+        dK = jnp.take_along_axis(prevK, djc, axis=1)[:, 0]
+        dL = jnp.take_along_axis(prevL, djc, axis=1)[:, 0]
+        dS = jnp.take_along_axis(prevS, djc, axis=1)[:, 0]
+        died = has_die
+        dsl = jnp.where(died, st["slot"], GP)
+        st["death"] = st["death"].at[dsl].set(
+            jnp.where(died, i - dj, 0), mode="drop")
+        st["fk"] = st["fk"].at[dsl].set(jnp.where(died, dK, 0),
+                                        mode="drop")
+        st["fl"] = st["fl"].at[dsl].set(jnp.where(died, dL, 0),
+                                        mode="drop")
+        st["fs"] = st["fs"].at[dsl].set(jnp.where(died, dS, 0),
+                                        mode="drop")
+
+        # ---- survivors advance W chars; un-walked lanes retry
+        through = walked & ~has_die
+        st["k"] = jnp.where(through, CK[:, W - 1], k)
+        st["l"] = jnp.where(through, CL[:, W - 1], l)
+        st["s"] = jnp.where(through, CS[:, W - 1], s)
+        st["i"] = jnp.where(through, i - W, i)
+        st["alive"] = alive & ~died
+        st["rnd"] = st["rnd"] + 1
+        return st
+      return body
+
+    lane_keys = ("k", "l", "s", "rid", "i", "mh", "slot")
+    widths = []
+    for d in segs:
+        w2 = max(CAPW // d, 256)
+        if not widths or w2 < widths[-1]:
+            widths.append(w2)
+    for ix, w in enumerate(widths):
+        nxtw = widths[ix + 1] if ix + 1 < len(widths) else 0
+        body_w = make_body(w, max(w // 2, 64))
+
+        def cond(st, nxtw=nxtw):
+            return (st["rnd"] < RCAP) & \
+                (jnp.sum(st["alive"], dtype=i32) > nxtw)
+
+        st = jax.lax.while_loop(cond, body_w, st)
+        if nxtw:
+            lalive = st["alive"]
+            crank2 = jnp.cumsum(lalive, dtype=i32) - 1
+            tgt2 = jnp.where(lalive, crank2, nxtw)
+            st = dict(st)
+            for kk in lane_keys:
+                st[kk] = jnp.zeros(nxtw, st[kk].dtype).at[tgt2].set(
+                    st[kk], mode="drop")
+            st["alive"] = jnp.zeros(nxtw, jnp.bool_).at[tgt2].set(
+                lalive, mode="drop")
+    ovf = ovf | jnp.any(st["alive"])
+    return (st["death"], st["fk"], st["fl"], st["fs"], ovf,
+            st["calls"], st["ngrp"])
+
+
 def reconstruct(pool, death, fk, fl, fs, min_seed_len: int, group_cols):
     """Emission flags + SMEM rows from walked pool rows.
 
@@ -1144,15 +1338,18 @@ def packed_windows(qarr, W: int):
     return win.reshape(-1)
 
 
-def _chain_walk(fm: DeviceFMIndex, bases, W: int, k, l, s, valid):
-    """W pure forward extensions from (k, l, s) over the pre-decoded
-    window characters ``bases`` (U, W) — the mode-free unit the memo
-    stores.  Recording stops at the first ambiguous base (code > 3),
-    where every consumer mode stops anyway; ln < W encodes that amb
-    offset.  The chars come decoded from the probe's packed-window
-    gather, so each step costs exactly ONE occ row gather
-    (extend_sel_batch) — the round-4 version paid three gathers per
-    step (qflat char + occ rows + take_along_axis child select).
+def _chain_walk(fm: DeviceFMIndex, bases, W: int, k, l, s, valid,
+                is_back: bool = False, stop_s=None):
+    """W pure extensions from (k, l, s) over the pre-decoded window
+    characters ``bases`` (U, W) — the mode-free unit the memos store.
+    Forward mode extends on the complement (the reference's c =
+    3 - seq[i] trick, comp_seed.cpp:78); backward mode extends on the
+    character itself.  Recording stops at the first ambiguous base
+    (code > 3), where every consumer mode stops anyway; ln < W encodes
+    that amb offset.  The chars come decoded from the probe's
+    packed-window gather, so each step costs exactly ONE occ row
+    gather (extend_sel_batch) — the round-4 version paid three gathers
+    per step (qflat char + occ rows + take_along_axis child select).
     Returns (ck, cl, cs (U, W) post-extension states, ln (U,))."""
     i32 = jnp.int32
     U = k.shape[0]
@@ -1162,9 +1359,10 @@ def _chain_walk(fm: DeviceFMIndex, bases, W: int, k, l, s, valid):
     for j in range(W):                 # static unroll (W is 4..10)
         base = bases[:, j].astype(i32)
         step = alive & (base <= 3)
-        c = 3 - jnp.clip(base, 0, 3)
+        cb = jnp.clip(base, 0, 3)
+        c = cb if is_back else 3 - cb
         ik = jnp.stack([k, l, s], axis=-1)
-        okc = dfm.extend_sel_batch(fm, ik, c, is_back=False)   # (U, 3)
+        okc = dfm.extend_sel_batch(fm, ik, c, is_back=is_back)  # (U, 3)
         k = jnp.where(step, okc[:, 0], k)
         l = jnp.where(step, okc[:, 1], l)
         s = jnp.where(step, okc[:, 2], s)
@@ -1173,6 +1371,16 @@ def _chain_walk(fm: DeviceFMIndex, bases, W: int, k, l, s, valid):
         cs.append(s)
         ln = ln + step.astype(i32)
         alive = step
+        if stop_s is not None:
+            # backward reps stop once the interval drops below the
+            # smallest min_hits of their group: every consumer has died
+            # by then, and an ln-encoded stop and an s < mh death give
+            # identical death position and state-before — so the rep
+            # executes EXACTLY the steps of its longest-lived consumer
+            # (calls <= queries stays invariant; the forward modes
+            # CANNOT stop here: their amb-stop respawn position
+            # differs from a small-stop's)
+            alive = alive & (s >= stop_s)
     return (jnp.stack(ck, axis=1), jnp.stack(cl, axis=1),
             jnp.stack(cs, axis=1), ln)
 

@@ -72,9 +72,9 @@ def main() -> int:
     ap.add_argument("--reads", type=int, default=32768)
     ap.add_argument("--windows", type=int, default=8)
     ap.add_argument("--chunk", type=int, default=16384)
-    ap.add_argument("--parity", type=int, default=2048,
-                    help="reads to spot-check vs the bwamem oracle "
-                         "(0 disables)")
+    ap.add_argument("--parity", type=int, default=-1,
+                    help="reads to check vs the bwamem oracle "
+                         "(-1 = FULL cohort, 0 disables)")
     args = ap.parse_args()
     prefix = os.path.join(args.workdir, "mine")
     if not os.path.exists(prefix + ".bwt"):
@@ -146,29 +146,46 @@ def main() -> int:
                  on_done=done.extend, stats=st)
     print(f"[hg19] warmup(+compile) {time.time() - t0:.0f} s",
           file=sys.stderr)
-    # timed
+    # timed (steady state: depth-2 pipeline over len(all_chunks));
+    # count device-cap fallbacks — the r4 hit% collapse suspect
+    fallback_chunks = [0]
+    orig_run_flat = seeder.run_flat
+
+    def counting_run_flat(queries, stats=None):
+        out = orig_run_flat(queries, stats)
+        if seeder.last_overflow:
+            fallback_chunks[0] += 1
+        return out
+
+    seeder.run_flat = counting_run_flat
     done = []
     st = SeedingStats()
+    if tail is not None:
+        tail.prof.clear()
+    getattr(engine, "prof", {}).clear()
     t0 = time.time()
     align_stream(opt, fm, iter(all_chunks), engine, seeder, tail,
                  on_done=done.extend, stats=st)
     dt = time.time() - t0
     assert len(done) == n and all(r.sam for r in done)
     rate = n / dt
+    prof = dict(tail.prof) if tail is not None else {}
+    prof.update(getattr(engine, "prof", {}))
     bwt_hit = 100.0 * (st.bwt_queries - st.bwt_calls) / \
         max(st.bwt_queries, 1)
     sal_merged = 100.0 * (st.sal_queries - st.sal_calls) / \
         max(st.sal_queries, 1)
 
     parity = None
-    if args.parity:
+    n_parity = n if args.parity < 0 else min(args.parity, n)
+    if n_parity:
         ref_bin = os.path.join(ROOT, ".ref_build", "bwamem")
         if not os.path.exists(ref_bin):
             from scripts.fuzz_parity import ensure_ref_binaries
             ensure_ref_binaries()
         fq = os.path.join(args.workdir, "parity.fq")
         with open(fq, "w") as f:
-            for r in done[:args.parity]:
+            for r in done[:n_parity]:
                 f.write(f"@{r.name}\n{r.seq}\n+\n{'I' * len(r.seq)}\n")
         out = subprocess.run(
             [ref_bin, prefix, fq], capture_output=True,
@@ -176,7 +193,7 @@ def main() -> int:
         want = [ln for ln in out.splitlines()
                 if ln and not ln.startswith("@")]
         got_by_name = {}
-        for r in done[:args.parity]:
+        for r in done[:n_parity]:
             for ln in r.sam.rstrip("\n").split("\n"):
                 got_by_name.setdefault(ln.split("\t")[0], []).append(ln)
         want_by_name = {}
@@ -196,6 +213,13 @@ def main() -> int:
         "h2d_s": round(t_h2d, 1),
         "bwt_hit_pct": round(bwt_hit, 2),
         "sal_merged_pct": round(sal_merged, 2),
+        "bwt_rounds": st.rounds,
+        "fallback_chunks": fallback_chunks[0],
+        "dedup_state": {"fwd_disabled": seeder.fwd_disabled,
+                        "bwd_disabled": seeder.bwd_disabled,
+                        "r2_dedup": seeder.r2_dedup},
+        "tail_profile_ms": {k: round(v * 1e3, 1)
+                            for k, v in prof.items()},
         "parity": parity,
     }))
     return 0

@@ -345,3 +345,54 @@ def test_run_meta_class_split_interpret(micro, meta_mode):
     got = rm.run_meta(qmeta, rmeta, h0, opt.w, opt.pen_clip5)
     for j in range(6):
         assert np.array_equal(want[j], got[j]), j
+
+
+def test_build_tiles_packed_equals_ref(micro):
+    """The packed-word tile build (word gathers + fold-branch decode)
+    must be bit-exact vs the per-element reference formulation for
+    forward/reverse pairs on both strands, including windows straddling
+    the strand mirror and row-end padding."""
+    import jax.numpy as jnp
+
+    from compseed_tpu.index.build import unpack_pac
+    from compseed_tpu.ops.bsw_pallas import build_tiles, build_tiles_ref
+    from compseed_tpu.ops.device_index import to_device
+
+    seq, built, fm = micro
+    dfi = to_device(fm)
+    l_pac = int(dfi.l_pac)
+    rng = np.random.default_rng(31)
+    R, L = 24, 128
+    qarr = np.full((R, L), 4, np.uint8)
+    for i in range(R):
+        ln = int(rng.integers(40, L - 1))
+        qarr[i, :ln] = rng.integers(0, 5, ln)   # includes Ns
+    Q, T = 128, 256
+    n = 257                                     # odd, off-bucket
+    qmeta = np.zeros((n, 4), np.int32)
+    r0 = np.zeros(n, np.int64)
+    rlen = np.zeros(n, np.int32)
+    for p in range(n):
+        rid = int(rng.integers(0, R))
+        rev = int(rng.integers(0, 2))
+        ql = int(rng.integers(1, 120))
+        q0 = int(rng.integers(0, L - ql)) if rev == 0 else \
+            int(rng.integers(ql - 1, L))
+        tl = int(rng.integers(0, 180))
+        if rev == 0:
+            r0[p] = int(rng.integers(0, max(2 * l_pac - tl, 1)))
+        else:
+            r0[p] = int(rng.integers(max(tl - 1, 0), 2 * l_pac))
+        qmeta[p] = (rid, q0, ql, rev)
+        rlen[p] = tl
+    qflat = jnp.asarray(qarr.reshape(-1))
+    qm = jnp.asarray(qmeta)
+    r0j = jnp.asarray(r0)
+    rl = jnp.asarray(rlen)
+    a = build_tiles_ref(qflat, dfi.pac_words, qm, r0j, rl,
+                        Q=Q, T=T, L=L, l_pac=l_pac)
+    b = build_tiles(qflat, dfi.pac_words, qm, r0j, rl,
+                    Q=Q, T=T, L=L, l_pac=l_pac)
+    assert np.array_equal(np.asarray(a[0]), np.asarray(b[0]))  # qt
+    assert np.array_equal(np.asarray(a[1]), np.asarray(b[1]))  # ql
+    assert np.array_equal(np.asarray(a[2]), np.asarray(b[2]))  # tt

@@ -510,6 +510,7 @@ def test_windowed_bwd_dedup_captures_shifted_sharing(tiny_fm, monkeypatch):
     qd, rd = jnp.asarray(qa), jnp.asarray(rl)
 
     outs = {}
+    monkeypatch.setenv("COMPSEED_BWD_CHAIN", "0")   # pin the r4 engines
     for win in ("0", "1"):
         monkeypatch.setenv("COMPSEED_BWD_WIN", win)
         sd = DeviceSeeder(MemOptions(), tiny_fm, dedup=True)
@@ -534,3 +535,60 @@ def test_windowed_bwd_dedup_captures_shifted_sharing(tiny_fm, monkeypatch):
     # reference's trie too — see EVIDENCE/reuse_attribution.md)
     assert b["bc"] < b["bq"], (b["bc"], b["bq"])
     assert b["bc"] < a["bc"], (b["bc"], a["bc"])
+
+
+def test_bwd_chain_rounds_bit_exact(tiny_fm, monkeypatch):
+    """The chained-round backward walker (walk_pool_chain) must produce
+    bit-identical round-1 seeding results to both r4 engines (windowed
+    probe + staged walk, and whole-walk keying) on shifted-coverage
+    input, with the same query count and real sharing (bc < bq)."""
+    import jax.numpy as jnp
+    from compseed_tpu.index.build import unpack_pac
+    from compseed_tpu.options import MemOptions
+    from compseed_tpu.ops.seeder2 import DeviceSeeder
+
+    g = unpack_pac(tiny_fm.pac, tiny_fm.l_pac)
+    rng = np.random.default_rng(13)
+    R, L = 256, 128
+    qa = np.full((R, L), 4, np.uint8)
+    rl = np.zeros(R, np.int32)
+    base = int(rng.integers(0, len(g) - 4000))
+    for i in range(R):
+        p = base + int(rng.integers(0, 800))
+        r = g[p: p + 101].copy()
+        if rng.random() < 0.3:
+            r[int(rng.integers(0, 101))] = int(rng.integers(0, 4))
+        if rng.random() < 0.05:
+            r[int(rng.integers(0, 101))] = 4        # N death path
+        qa[i, :101] = r
+        rl[i] = 101
+    # a read with an all-N prefix (pivot-0 fast path, death == -1)
+    qa[3, :40] = 4
+    qd, rd = jnp.asarray(qa), jnp.asarray(rl)
+
+    outs = {}
+    for mode, env in (("chain", {"COMPSEED_BWD_CHAIN": "1"}),
+                      ("win", {"COMPSEED_BWD_CHAIN": "0",
+                               "COMPSEED_BWD_WIN": "1"}),
+                      ("whole", {"COMPSEED_BWD_CHAIN": "0",
+                                 "COMPSEED_BWD_WIN": "0"})):
+        for kk, vv in env.items():
+            monkeypatch.setenv(kk, vv)
+        sd = DeviceSeeder(MemOptions(), tiny_fm, dedup=True)
+        fns = sd._build(R, L)
+        (pool, ok, rid, k, l, s, beg, end, ovf1, bad1, n_pool, n_u,
+         fqc, fcc, bq1, bc1, memo) = fns["r1"](sd.dfi, qd, rd)
+        assert not np.asarray(ovf1).any(), mode
+        outs[mode] = dict(
+            ok=np.asarray(ok), rid=np.asarray(rid), k=np.asarray(k),
+            l=np.asarray(l), s=np.asarray(s), beg=np.asarray(beg),
+            end=np.asarray(end), bq=int(bq1), bc=int(bc1))
+    a = outs["chain"]
+    for other in ("win", "whole"):
+        b = outs[other]
+        assert np.array_equal(a["ok"], b["ok"]), other
+        m = a["ok"]
+        for f in ("rid", "k", "l", "s", "beg", "end"):
+            assert np.array_equal(a[f][m], b[f][m]), (other, f)
+        assert a["bq"] == b["bq"], other
+    assert a["bc"] < a["bq"]
