@@ -196,6 +196,21 @@ class DeviceSeeder:
         self.chain_w = int(os.environ.get("COMPSEED_CHAIN_W", "6"))
         self.bwd_disabled = \
             os.environ.get("COMPSEED_BWD_DEDUP", "1") == "0"
+        # instance copies of the cap factors: a cap overflow at
+        # runtime DOUBLES the factor and recompiles (adaptive static
+        # shapes) instead of paying the exact-fallback rerun on every
+        # chunk — whole-genome interval volumes exceed the bench-sized
+        # defaults (the r4 hg19 hit% collapse: the r1 pool overflowed,
+        # which disabled the memo path for the rest of the run)
+        self.GP_F = type(self).GP_F
+        self.CAPU_F = type(self).CAPU_F
+        self.T2L_F = type(self).T2L_F
+        self.GP2_F = type(self).GP2_F
+        self.MEM_F = type(self).MEM_F
+        self.SEED_F = type(self).SEED_F
+        self.U_F = type(self).U_F
+        self.MEM3_F = int(os.environ.get("COMPSEED_MEM3_F", "32"))
+        self._cap_raises = 0
         self._jits: dict = {}
         self.prof: dict = {}
         self.last_overflow = False
@@ -476,7 +491,7 @@ class DeviceSeeder:
                 # greedy round-3 through the forward-dedup worklist
                 # (tem_forward_sst, comp_seed.cpp:141-160): same sweep
                 # machinery in 'r3' mode — one rep walk per group
-                GP3 = R_ * MMEM3
+                GP3 = R_ * self.MEM3_F
                 pool3, n3, ovf3g, fq3, fc3, memo = fwd_scan(
                     fm, qarr, rlens, GP3, fwd_stages, memo, mode="r3",
                     u_cap=max(R_ // 2, 64),
@@ -774,13 +789,47 @@ class DeviceSeeder:
         return lrep, sflat, soff
 
     def _note_fwd_overflow(self, oflags) -> None:
-        """Adaptive response to a dedup cap overflow: drop the
-        overflowing dedup pass from future compiles (this input doesn't
-        share enough), keeping everything else."""
+        """Adaptive response to a cap overflow.  Pool/buffer caps
+        (sized to bench volumes) DOUBLE and recompile — overflow there
+        means the input genuinely carries more volume (whole-genome
+        interval counts), and per-chunk exact fallback would otherwise
+        run forever.  Only the dedup REP caps still respond by
+        dropping the dedup pass (low-sharing input).  Raises are
+        bounded at 3 doublings per knob (8x memory) before falling
+        through to the disable/fallback behavior."""
         import sys
         changed = False
+        # oflags: r1 pool/walk/fwd/bwd, r2 task/pool/walk/fwd,
+        # merge, seeds, r3
+        raises = []
+        if self._cap_raises < 9:
+            def bump(attr, slots):
+                nonlocal changed
+                if any(oflags[s] for s in slots):
+                    setattr(self, attr, getattr(self, attr) * 2)
+                    raises.append(f"{attr}->{getattr(self, attr)}")
+                    self._cap_raises += 1
+                    changed = True
+            bump("GP_F", (0, 2))      # r1 pool (memo-mode fovf == pool)
+            bump("CAPU_F", (1,))     # r1 walk lane cap
+            bump("T2L_F", (4,))      # round-2 task lanes
+            bump("GP2_F", (5, 6, 7))  # r2 pool/walks
+            bump("MEM_F", (8,))
+            bump("SEED_F", (9,))
+            bump("U_F", (9,))
+            bump("MEM3_F", (10,))
+        if raises:
+            print(f"[M::seeder2] cap overflow -> raising {raises} and "
+                  "recompiling (results unchanged; the overflowing "
+                  "chunk was recomputed exactly)", file=sys.stderr)
+            self._jits.clear()
+            if hasattr(self, "_sharded"):
+                self._sharded.clear()
+            return
         if not self.fwd_disabled and any(oflags[s] for s in FWD_OVF_SLOTS):
-            print("[M::seeder2] forward-sweep dedup caps overflowed; "
+            print("[M::seeder2] forward-sweep dedup caps overflowed "
+                  f"(oflags={list(map(int, oflags))} = r1 pool/walk/"
+                  "fwd/bwd, r2 task/pool/walk/fwd, merge, seeds, r3); "
                   "disabling the forward path for subsequent chunks",
                   file=sys.stderr)
             self.fwd_disabled = True

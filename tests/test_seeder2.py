@@ -592,3 +592,26 @@ def test_bwd_chain_rounds_bit_exact(tiny_fm, monkeypatch):
             assert np.array_equal(a[f][m], b[f][m]), (other, f)
         assert a["bq"] == b["bq"], other
     assert a["bc"] < a["bq"]
+
+
+def test_adaptive_cap_doubling(tiny_fm):
+    """A pool/buffer cap overflow DOUBLES the corresponding factor and
+    clears the compiled programs (adaptive static shapes) instead of
+    disabling the dedup path; rep-cap style disables only fire once
+    the raise budget is exhausted."""
+    sd = DeviceSeeder(MemOptions(), tiny_fm, dedup=True)
+    gp0, t20 = sd.GP_F, sd.T2L_F
+    sd._jits["sentinel"] = object()
+    flags = np.zeros(11, np.int64)
+    flags[0] = 1          # r1 pool
+    flags[4] = 1          # r2 task lanes
+    sd._note_fwd_overflow(flags)
+    assert sd.GP_F == 2 * gp0 and sd.T2L_F == 2 * t20
+    assert not sd.fwd_disabled            # raise, not disable
+    assert "sentinel" not in sd._jits     # recompile forced
+    # exhaust the raise budget -> the disable path takes over
+    sd._cap_raises = 99
+    flags2 = np.zeros(11, np.int64)
+    flags2[2] = 1
+    sd._note_fwd_overflow(flags2)
+    assert sd.fwd_disabled
