@@ -220,7 +220,7 @@ class BuiltIndex:
 
 
 def build_index_blocked(fa_path: str, sa_intv: int = SA_INTV_DEFAULT,
-                        first_block: int = 1 << 30,
+                        first_block: int = 768 << 20,
                         block_size: int = 192 << 20) -> BuiltIndex:
     """Low-memory twin of build_index: identical artifacts, bounded RSS.
 
@@ -244,9 +244,11 @@ def build_index_blocked(fa_path: str, sa_intv: int = SA_INTV_DEFAULT,
 
     seqs = read_fasta(fa_path)
     bns, fwd = pack_sequences(seqs)
+    del seqs                      # ~1 B/base of raw FASTA bytes
     l_pac = len(fwd)
     seq_len = 2 * l_pac
     pac = pack_pac(fwd)
+    cnt_f = np.bincount(fwd, minlength=4)[:4].astype(np.int64)
 
     def both_slice(lo: int, hi: int) -> np.ndarray:
         """codes of (fwd ++ revcomp(fwd))[lo:hi] without materializing
@@ -291,15 +293,14 @@ def build_index_blocked(fa_path: str, sa_intv: int = SA_INTV_DEFAULT,
         n += len(block)
         lo = b0
     assert n == seq_len
+    del fwd                       # 1 B/base, dead once the text is consumed
 
     sa_sampled = bwt_cal_sa_native(packed, seq_len, primary, sa_intv)
     bwt_codes = unpack_pac(packed, seq_len)
     del packed
 
     L2 = np.zeros(5, dtype=np.int64)
-    cnt_f = np.bincount(fwd, minlength=4)[:4].astype(np.int64)
     L2[1:] = np.cumsum(cnt_f + cnt_f[::-1])  # both-strand counts
-    del fwd
 
     cp = occ_checkpoints(bwt_codes)
     return BuiltIndex(

@@ -186,6 +186,11 @@ int cs_bwt_merge_block(const u8* bwt_packed, i64 N, i64 primary,
     // (2*primary + 1).  r <= N+1 < 2^33 so 2r+1 < 2^34 and keys fit 36
     // bits; (key << 28) | j packs sort key + index into one u64 for
     // m < 2^28 — exactly 64 bits, guarded above.
+    // the rank rows (0.37 B/char) are only needed for the LF loop above
+    // and would otherwise sit under the sort/doubling vectors' peak;
+    // the merge emit below streams old chars from the packed BWT
+    { std::vector<u64>().swap(ridx.rows); }
+
     std::vector<u64> key((size_t)m + 1);
     {
         for (i64 j = 0; j < m; j++)
@@ -290,7 +295,8 @@ int cs_bwt_merge_block(const u8* bwt_packed, i64 N, i64 primary,
             if (old_row == primary) {
                 set_code(bwt_out, out_stored++, block[m - 1]);
             } else {
-                set_code(bwt_out, out_stored++, ridx.at(old_stored));
+                set_code(bwt_out, out_stored++,
+                         get_code(bwt_packed, old_stored));
                 old_stored++;
             }
             old_row++;
