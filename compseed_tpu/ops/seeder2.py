@@ -189,11 +189,12 @@ class DeviceSeeder:
         self.fwd_memo = \
             os.environ.get("COMPSEED_FWD_MEMO", "1") == "1"
         # chain width: savings rise steeply as W shrinks but rounds
-        # scale ~1/W.  r4 hardware A/B (EVIDENCE/ab_r04.jsonl): W=6
-        # matches W=8 on both seeding time (1,430 vs ~1,430 ms/16k) and
-        # e2e (8,236 vs 8,268 reads/s, within the 1% spread) while
-        # lifting BWT-extend reuse 24.65% -> 35.81%; default 6.
-        self.chain_w = int(os.environ.get("COMPSEED_CHAIN_W", "6"))
+        # scale ~1/W.  After the r5 per-round op cuts the balance moved
+        # DOWN: hardware A/B on one tunnel-day (EVIDENCE/ab_r05.jsonl)
+        # measured W=5 at 9,754 reads/s / 38.46% reuse vs W=6 at
+        # 9,515 / 35.68% — better on both axes; default 5 (r4's A/B at
+        # the old per-round costs had W=6 vs W=8 time-neutral).
+        self.chain_w = int(os.environ.get("COMPSEED_CHAIN_W", "5"))
         self.bwd_disabled = \
             os.environ.get("COMPSEED_BWD_DEDUP", "1") == "0"
         # instance copies of the cap factors: a cap overflow at

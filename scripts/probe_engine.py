@@ -59,7 +59,7 @@ def main():
     l_pac = int(dfi.l_pac)
     opt = MemOptions()
     mat = jnp.asarray(np.array(fill_scmat(opt.a, opt.b), np.int32)
-                      .reshape(5, 5))
+                      .reshape(1, 25))   # _call_kernel mat25 layout
     rng = np.random.default_rng(5)
     qarr = np.full((R, L), 4, np.uint8)
     qarr[:, :101] = reads_arr[:R]
