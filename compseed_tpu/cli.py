@@ -124,6 +124,11 @@ def cmd_mem(argv: list[str]) -> int:
     ap.add_argument("--mesh", type=int, default=0,
                     help="shard the device pipeline over N chips "
                          "(0 = single-device)")
+    ap.add_argument("--sa-intv", type=int, default=0, dest="sa_intv",
+                    help="densify the suffix-array sample ON DEVICE to "
+                         "this interval (power of two < the on-disk "
+                         "intv 32): HBM traded for SAL walk depth; "
+                         "the index files are untouched")
     ap.add_argument("--tail", choices=["python", "native"],
                     default="native")
     ap.add_argument("-v", type=int, default=3, dest="verbose")
@@ -273,6 +278,14 @@ def cmd_mem(argv: list[str]) -> int:
     else:
         is_fastq_in, reads_stream = sniff_open(args.reads)
     if args.engine == "device":
+        dfi = None
+        if args.sa_intv and args.sa_intv < fm.sa_intv:
+            import numpy as _np
+            from compseed_tpu.ops.device_index import densify_sa, to_device
+            dfi = densify_sa(to_device(fm), args.sa_intv)
+            # keep the host views in agreement (oracle fallback / SAL)
+            fm.sa_intv = args.sa_intv
+            fm.sa_sampled = _np.asarray(dfi.sa_sampled).astype(_np.uint64)
         if args.mesh > 0:
             # multi-chip: the production pipeline shard_map'd over a
             # data mesh (parallel/sharded.py)
@@ -282,7 +295,8 @@ def cmd_mem(argv: list[str]) -> int:
             from compseed_tpu.parallel.sharded import (ShardedBswRunner,
                                                        ShardedSeeder)
             mesh = make_mesh(jax.devices()[:args.mesh])
-            seeder = ShardedSeeder(opt, fm, mesh=mesh, dedup=True)
+            seeder = ShardedSeeder(opt, fm, mesh=mesh, dedup=True,
+                                   dfi=dfi)
             engine = ShardedBswRunner(opt, _np.array(opt.mat), mesh=mesh,
                                       dfi=seeder.dfi)
         else:
@@ -290,7 +304,7 @@ def cmd_mem(argv: list[str]) -> int:
             # compressive dedup on for every input mode (the reference
             # builds its SSTs unconditionally); the adaptive cap
             # fallback protects low-sharing FASTQ input
-            seeder = device_seeder(opt, fm, dedup=True)
+            seeder = device_seeder(opt, fm, dedup=True, dfi=dfi)
             engine = device_engine(opt, fm,
                                    dfi=getattr(seeder, "dfi", None))
     if args.tail == "native":

@@ -116,6 +116,45 @@ def pac_codes_at(pac_words: jax.Array, pos: jax.Array) -> jax.Array:
     return ((w >> sh) & 3).astype(jnp.uint8)
 
 
+def densify_sa(dfi: DeviceFMIndex, new_intv: int,
+               chunk: int = 1 << 21) -> DeviceFMIndex:
+    """Resample the suffix array to a DENSER interval on device.
+
+    The reference ships `.sa` at intv 32 (FM_index/bwt.c:218 via bwtsw);
+    a denser sample is a pure HBM-for-walk-depth trade this framework
+    exposes (bench.py builds intv 8 directly; this retrofits a loaded
+    intv-32 index, e.g. hg19, without touching the on-disk files).
+
+    Each new sample SA[j*new_intv] is computed by the same masked
+    inverse-Psi walk SAL uses (`sa_batch`), batched ``chunk`` lanes at a
+    time.  The walked values are EXACTLY the directly-built denser
+    sample, including the -1 sentinel at [0]: a walk that passes the
+    primary row picks up SA[primary]=0 via invPsi(primary)=0 and then
+    terminates at row 0 adding the stored -1 — the same wrap arithmetic
+    bwt_cal_sa/bwt_sa rely on (FM_index/bwt.c:86-96), so sums telescope
+    identically (differential test: tests/test_ops_fm.py).
+    """
+    old = dfi.sa_intv
+    assert new_intv < old and old % new_intv == 0 and \
+        new_intv & (new_intv - 1) == 0, (old, new_intv)
+    import dataclasses
+
+    n_new = dfi.seq_len // new_intv + 1
+    from compseed_tpu.ops.fm import sa_batch
+    jf = jax.jit(sa_batch)
+    parts = []
+    for s in range(0, n_new, chunk):
+        n = min(chunk, n_new - s)
+        # fixed-width program: pad the tail chunk with k=0 lanes
+        # (already sampled -> zero-step walks)
+        k = np.zeros(chunk, dtype=np.int64)
+        k[:n] = (np.arange(s, s + n, dtype=np.int64) * new_intv)
+        out = np.asarray(jf(dfi, jnp.asarray(k.astype(dfi.idx_dtype))))
+        parts.append(out[:n])
+    sa_new = jnp.asarray(np.concatenate(parts))
+    return dataclasses.replace(dfi, sa_sampled=sa_new, sa_intv=new_intv)
+
+
 def to_device(fm: FMIndex, force_dtype=None) -> DeviceFMIndex:
     """force_dtype overrides the int32/int64 choice (testing the
     hg19-scale int64 path on small genomes)."""

@@ -17,14 +17,16 @@ def device_engine(opt, fm=None, dfi=None):
 
 
 def device_seeder(opt, fm, version: str | None = None,
-                  dedup: bool = False):
+                  dedup: bool = False, dfi=None):
     """v2 (default): device-resident dense-worklist seeder (ops/seeder2);
     v1: lockstep per-read seeder (ops/smem), kept as the fallback path.
-    dedup enables cross-read walk dedup for compressor-reordered input."""
+    dedup enables cross-read walk dedup for compressor-reordered input.
+    dfi: pass a prepared DeviceFMIndex (e.g. one densified with
+    ``device_index.densify_sa``) instead of uploading ``fm``."""
     import os
     version = version or os.environ.get("COMPSEED_SEEDER", "v2")
     if version == "v1":
         from compseed_tpu.ops.smem import BatchSeeder
-        return BatchSeeder(opt, fm)
+        return BatchSeeder(opt, fm, dfi=dfi)
     from compseed_tpu.ops.seeder2 import DeviceSeeder
-    return DeviceSeeder(opt, fm, dedup=dedup)
+    return DeviceSeeder(opt, fm, dedup=dedup, dfi=dfi)

@@ -211,6 +211,16 @@ class DeviceSeeder:
         self.SEED_F = type(self).SEED_F
         self.U_F = type(self).U_F
         self.MEM3_F = int(os.environ.get("COMPSEED_MEM3_F", "32"))
+        # =0 disables the overflow->double-and-recompile response and
+        # falls straight through to the r4 behavior (drop the dedup
+        # pass on overflow).  Measured on hg19 full-cohort
+        # (EVIDENCE/ab_r05_notes.md): the cap-raised wide programs ran
+        # 302 reads/s vs 1,478 for the memo-disabled path — at
+        # whole-genome interval volumes the raised widths cost more
+        # than the memo saves, so deployments there should set =0
+        # until the per-round raise lever lands.
+        self.adaptive_caps = \
+            os.environ.get("COMPSEED_ADAPTIVE_CAPS", "1") == "1"
         self._cap_raises = 0
         self._jits: dict = {}
         self.prof: dict = {}
@@ -803,7 +813,7 @@ class DeviceSeeder:
         # oflags: r1 pool/walk/fwd/bwd, r2 task/pool/walk/fwd,
         # merge, seeds, r3
         raises = []
-        if self._cap_raises < 9:
+        if self.adaptive_caps and self._cap_raises < 9:
             def bump(attr, slots):
                 nonlocal changed
                 if any(oflags[s] for s in slots):
@@ -811,14 +821,20 @@ class DeviceSeeder:
                     raises.append(f"{attr}->{getattr(self, attr)}")
                     self._cap_raises += 1
                     changed = True
-            bump("GP_F", (0, 2))      # r1 pool (memo-mode fovf == pool)
+            # slots 2/7/10 are pool-equivalent only in memo mode
+            # (fovf == pool there); in the staged engine they are the
+            # dedup REP caps, whose overflow means low-sharing input —
+            # raising pool widths cannot fix that, so those fall
+            # through to the disable response below.
+            memo = self.fwd_memo and not self.fwd_disabled
+            bump("GP_F", (0, 2) if memo else (0,))    # r1 pool
             bump("CAPU_F", (1,))     # r1 walk lane cap
             bump("T2L_F", (4,))      # round-2 task lanes
-            bump("GP2_F", (5, 6, 7))  # r2 pool/walks
+            bump("GP2_F", (5, 6, 7) if memo else (5, 6))  # r2 pool/walks
             bump("MEM_F", (8,))
             bump("SEED_F", (9,))
             bump("U_F", (9,))
-            bump("MEM3_F", (10,))
+            bump("MEM3_F", (10,) if memo else ())
         if raises:
             print(f"[M::seeder2] cap overflow -> raising {raises} and "
                   "recompiling (results unchanged; the overflowing "

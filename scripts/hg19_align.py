@@ -75,6 +75,11 @@ def main() -> int:
     ap.add_argument("--parity", type=int, default=-1,
                     help="reads to check vs the bwamem oracle "
                          "(-1 = FULL cohort, 0 disables)")
+    ap.add_argument("--sa-intv", type=int, default=0,
+                    help="densify the suffix-array sample on device to "
+                         "this interval after load (HBM for SAL walk "
+                         "depth; the disk index stays intv 32 — the "
+                         "2 Mbp bench already runs intv 8)")
     args = ap.parse_args()
     prefix = os.path.join(args.workdir, "mine")
     if not os.path.exists(prefix + ".bwt"):
@@ -120,6 +125,18 @@ def main() -> int:
     t_h2d = time.time() - t0
     print(f"[hg19] device index: {hbm_gb:.2f} GB HBM, "
           f"H2D {t_h2d:.0f} s", file=sys.stderr)
+    if args.sa_intv and args.sa_intv < fm.sa_intv:
+        from compseed_tpu.ops.device_index import densify_sa
+        t0 = time.time()
+        dfi = densify_sa(dfi, args.sa_intv)
+        dfi.sa_sampled.block_until_ready()
+        fm.sa_intv = args.sa_intv          # keep host/SAL views agreeing
+        fm.sa_sampled = np.asarray(dfi.sa_sampled).astype(np.uint64)
+        hbm_gb = sum(leaf.nbytes for leaf in
+                     jax.tree_util.tree_leaves(dfi)) / 1e9
+        print(f"[hg19] SA densified to intv {args.sa_intv} on device in "
+              f"{time.time() - t0:.0f} s ({hbm_gb:.2f} GB HBM)",
+              file=sys.stderr)
 
     opt = MemOptions()
     seeder = DeviceSeeder(opt, fm, dfi=dfi, dedup=True)

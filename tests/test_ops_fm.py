@@ -89,6 +89,36 @@ def test_sa_batch(dev):
         assert got[i] == fo.sa_lookup(fm, int(k)), k
 
 
+def test_densify_sa(dev):
+    """Device SA resampling (intv 32 -> 8/4) must equal the directly
+    built denser sample bit-for-bit (incl. the -1 sentinel at [0]) and
+    keep sa_batch oracle-exact on the densified index."""
+    import os
+    import tempfile
+    from compseed_tpu.index.build import build_index
+    from compseed_tpu.index.fmindex import FMIndex
+    from compseed_tpu.ops.device_index import densify_sa
+    from compseed_tpu.utils import NT4_TO_ASCII
+
+    seq, fm, dfi = dev
+    assert fm.sa_intv == 32
+    for new_intv in (8, 4):
+        dfi_d = densify_sa(dfi, new_intv, chunk=64)   # exercise chunking
+        assert dfi_d.sa_intv == new_intv
+        with tempfile.NamedTemporaryFile("w", suffix=".fa",
+                                         delete=False) as f:
+            f.write(">micro\n" + bytes(NT4_TO_ASCII[seq]).decode() + "\n")
+            path = f.name
+        fm_d = FMIndex.from_built(build_index(path, sa_intv=new_intv))
+        os.unlink(path)
+        want = fm_d.sa_sampled.astype(np.int64).astype(dfi.idx_dtype)
+        assert np.array_equal(np.asarray(dfi_d.sa_sampled), want), new_intv
+        ks = np.arange(0, fm.seq_len + 1, dtype=np.int64)
+        got = np.asarray(dfm.sa_batch(dfi_d, jnp.asarray(ks)))
+        for k in range(0, fm.seq_len + 1, 7):
+            assert got[k] == fo.sa_lookup(fm, k), (new_intv, k)
+
+
 def test_occ4_jit_int32(dev):
     seq, fm, dfi = dev
     assert dfi.dtype == jnp.int32  # micro genome fits int32

@@ -615,3 +615,43 @@ def test_adaptive_cap_doubling(tiny_fm):
     flags2[2] = 1
     sd._note_fwd_overflow(flags2)
     assert sd.fwd_disabled
+
+
+def test_seeder2_densified_sa(tiny_fm):
+    """The full device seeder over a densify_sa(intv 8) index (the
+    --sa-intv CLI lever) must produce identical matches/seeds — SAL
+    depth is the only thing that changes."""
+    from compseed_tpu.ops.device_index import densify_sa, to_device
+
+    opt = MemOptions()
+    queries = _fixture_queries(16)
+    dfi8 = densify_sa(to_device(tiny_fm), 8)
+    assert dfi8.sa_intv == 8
+    sd = DeviceSeeder(opt, tiny_fm, dfi=dfi8, dedup=True)
+    got = sd(tiny_fm, opt, queries)
+    assert not sd.last_overflow
+    for r, q in enumerate(queries):
+        want = seeding.collect_matches(tiny_fm, opt, q)
+        assert got[r][0] == want, f"read {r}"
+    want_seeds = [seeding.sample_seeds(opt, seeding.collect_matches(
+        tiny_fm, opt, q)) for q in queries]
+    seeding.resolve_sal(tiny_fm, want_seeds)
+    for r in range(len(queries)):
+        g = [(s.rbeg, s.qbeg, s.len) for s in got[r][1]]
+        w = [(s.rbeg, s.qbeg, s.len) for s in want_seeds[r]]
+        assert g == w, f"read {r} seeds differ"
+
+
+def test_adaptive_caps_opt_out(tiny_fm, monkeypatch):
+    """COMPSEED_ADAPTIVE_CAPS=0 selects the r4 overflow response
+    (disable the dedup pass) with no cap raise — measured faster at
+    whole-genome interval volumes (EVIDENCE/ab_r05_notes.md hg19)."""
+    monkeypatch.setenv("COMPSEED_ADAPTIVE_CAPS", "0")
+    sd = DeviceSeeder(MemOptions(), tiny_fm, dedup=True)
+    gp0 = sd.GP_F
+    flags = np.zeros(11, np.int64)
+    flags[0] = 1
+    flags[2] = 1          # fwd rep caps
+    sd._note_fwd_overflow(flags)
+    assert sd.GP_F == gp0                 # no raise
+    assert sd.fwd_disabled                # straight to disable
